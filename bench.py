@@ -1,0 +1,71 @@
+"""Benchmark: ViNet saliency inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline: the reference claims 60 fps real-time inference on GPU
+(/root/reference/README.md:27); target is >=600 fps/chip (BASELINE.md).
+
+Measures the production inference path: BN folded into convs, bf16 weights
+and activations (f32 accumulation), B sliding windows per call — one
+saliency map per 32-frame 224x384 window, matching generate_result.py's
+per-frame output semantics at batch granularity.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.models import ViNet
+    from vinet_tpu.models.inference import make_inference_fn
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    model = ViNet(num_hier=3, clip_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    fn, params_b, state_b = make_inference_fn(model, params, state, dtype=jnp.bfloat16)
+
+    clips = jax.random.normal(jax.random.PRNGKey(1), (batch, 32, 224, 384, 3), jnp.bfloat16)
+
+    # warmup / compile
+    fn(clips).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(clips)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+
+    # p50 latency at B=1
+    one = clips[:1]
+    fn(one).block_until_ready()
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        fn(one).block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50_ms = lat[len(lat) // 2] * 1e3
+
+    print(json.dumps({
+        "metric": "vinet_saliency_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 2),
+        "batch": batch,
+        "p50_latency_ms_b1": round(p50_ms, 2),
+        "dtype": "bfloat16",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

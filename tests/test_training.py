@@ -1,0 +1,157 @@
+"""Train step, sharded multi-device training, BN folding, checkpoints."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vinet_tpu.models import ViNet
+from vinet_tpu.models.inference import cast_floating, fold_batchnorms, make_inference_fn
+from vinet_tpu.parallel import create_mesh, param_partition_specs, shard_pytree
+from vinet_tpu.parallel.mesh import shard_batch
+from vinet_tpu.training import LossConfig
+from vinet_tpu.training.trainer import adam, init_train_state, make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = ViNet(num_hier=3, clip_size=8)
+    optimizer = adam(1e-3)
+    ts = init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    k = jax.random.PRNGKey(1)
+    batch = {
+        "clip": jax.random.normal(k, (2, 8, 64, 96, 3), jnp.float32),
+        "gt": jnp.clip(jax.random.uniform(k, (2, 64, 96)), 0.05, 1.0),
+    }
+    return model, optimizer, ts, batch
+
+
+def test_train_step_decreases_loss(tiny_setup):
+    model, optimizer, ts, batch = tiny_setup
+    step = make_train_step(model, LossConfig(), optimizer, donate=False)
+    ts1, m1 = step(ts, batch)
+    losses = [float(m1["loss"])]
+    for _ in range(4):
+        ts1, m = step(ts1, batch)
+        losses.append(float(m["loss"]))
+    assert int(ts1["step"]) == 5
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_updates_bn_stats(tiny_setup):
+    model, optimizer, ts, batch = tiny_setup
+    step = make_train_step(model, LossConfig(), optimizer, donate=False)
+    ts1, _ = step(ts, batch)
+    before = ts["state"]["backbone"]["base1"]["0"]["bn_s"]["mean"]
+    after = ts1["state"]["backbone"]["base1"]["0"]["bn_s"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_eval_step_metrics(tiny_setup):
+    model, optimizer, ts, batch = tiny_setup
+    ev = make_eval_step(model, LossConfig())
+    metrics, pred = ev(ts, batch)
+    assert pred.shape == batch["gt"].shape
+    assert np.isfinite(float(metrics["loss"]))
+    assert -1 <= float(metrics["cc"]) <= 1
+
+
+def test_sharded_training_8dev(tiny_setup):
+    """Full train step over a (4 data x 2 model) mesh of 8 CPU devices —
+    the fake-backend distributed test the reference never had (SURVEY.md §4)."""
+    model, optimizer, ts, _ = tiny_setup
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = create_mesh(jax.devices()[:8], model=2)
+    ts_sharded = {
+        "params": shard_pytree(ts["params"], mesh),
+        "state": shard_pytree(ts["state"], mesh),
+        "opt_state": shard_pytree(ts["opt_state"], mesh),
+        "step": ts["step"],
+    }
+    k = jax.random.PRNGKey(2)
+    batch = {
+        "clip": jax.random.normal(k, (4, 8, 64, 96, 3), jnp.float32),
+        "gt": jnp.clip(jax.random.uniform(k, (4, 64, 96)), 0.05, 1.0),
+    }
+    batch = shard_batch(batch, mesh)
+    step = make_train_step(model, LossConfig(), optimizer, donate=False)
+    ts1, metrics = step(ts_sharded, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # sharded result == single-device result
+    step_ref = make_train_step(model, LossConfig(), optimizer, donate=False)
+    host_batch = jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x)), batch)
+    ts_ref, metrics_ref = step_ref(ts, host_batch)
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics_ref["loss"]), rtol=1e-4)
+    w_sh = np.asarray(ts1["params"]["decoder"]["conv7"]["w"])
+    w_rf = np.asarray(ts_ref["params"]["decoder"]["conv7"]["w"])
+    np.testing.assert_allclose(w_sh, w_rf, rtol=1e-3, atol=1e-5)
+
+
+def test_partition_specs_shard_out_channels():
+    model = ViNet(num_hier=3, clip_size=8)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    mesh = create_mesh(jax.devices()[:8], model=2)
+    specs = param_partition_specs(params, mesh)
+    s = specs["backbone"]["base2"]["0"]["branch0"]["0"]["conv"]["w"]
+    assert tuple(s) == (None, None, None, None, "model")
+    # 3-channel input conv still sharded on out axis; BN vector sharded
+    assert tuple(specs["backbone"]["base1"]["0"]["conv_s"]["w"]) == (None, None, None, None, "model")
+    assert tuple(specs["backbone"]["base1"]["0"]["bn_s"]["scale"]) == ("model",)
+    # 1-channel output conv7 not divisible -> replicated
+    assert tuple(specs["decoder"]["conv7"]["w"]) == ()
+
+
+def test_fold_batchnorms_exact():
+    model = ViNet(num_hier=3, clip_size=8)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # randomize BN stats so folding is non-trivial
+    def jiggle(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        rngs = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+        out = []
+        for leaf, r in zip(leaves, rngs):
+            out.append(leaf + 0.05 * jax.random.normal(r, leaf.shape))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    state = jax.tree_util.tree_map(jnp.abs, jiggle(state))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 64, 96, 3), jnp.float32)
+    ref, _ = model.apply(params, state, x)
+    fp, fs = fold_batchnorms(params, state)
+    # no BN params remain anywhere
+    flat = jax.tree_util.tree_flatten_with_path(fp)[0]
+    assert not any(any(getattr(k, "key", "") in ("scale",) for k in path) for path, _ in flat)
+    out, _ = model.apply(fp, fs, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_make_inference_fn_bf16_close_to_f32():
+    model = ViNet(num_hier=3, clip_size=8)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 64, 96, 3), jnp.float32)
+    ref, _ = model.apply(params, state, x)
+    fn, _, _ = make_inference_fn(model, params, state, dtype=jnp.bfloat16)
+    out = fn(x)
+    assert out.dtype == jnp.float32
+    # untrained output is near-constant (~0.536), so compare absolutely:
+    # bf16 conv noise must stay small at the sigmoid output
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.05, err
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_setup):
+    from vinet_tpu.io import latest_step, restore_checkpoint, save_checkpoint
+
+    model, optimizer, ts, batch = tiny_setup
+    step = make_train_step(model, LossConfig(), optimizer, donate=False)
+    ts1, _ = step(ts, batch)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, ts1)
+    assert latest_step(d) == 1
+    restored = restore_checkpoint(d, ts1)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ts1)[0],
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))

@@ -118,9 +118,9 @@ class AViNet:
 
     def apply(self, params, state, x, audio, *, train=False, rng=None):
         """x: (B,T,H,W,3) clip; audio: (B,L,1) waveform -> ((B,H,W), new_state)."""
-        a, a_state = self.audionet.apply(params["audionet"], state["audionet"], audio, train=train)
+        a, a_state = self.audionet.apply(params["audionet"], state.get("audionet", {}), audio, train=train)
         pyramid, bb_state = self.visual.backbone.apply(
-            params["visual_model"]["backbone"], state["visual_model"]["backbone"], x, train=train
+            params["visual_model"]["backbone"], state.get("visual_model", {}).get("backbone", {}), x, train=train
         )
         y0, y1, y2, y3 = pyramid
 
@@ -193,11 +193,11 @@ class AViNetFusion:
 
     def apply(self, params, state, x, audio, *, train=False, rng=None):
         cin, acin, tr = self._mods()
-        a, a_state = self.audionet.apply(params["audionet"], state["audionet"], audio, train=train)
+        a, a_state = self.audionet.apply(params["audionet"], state.get("audionet", {}), audio, train=train)
         a, _ = acin.apply(params["audio_conv_1x1"], {}, a)  # (B, 3, C)
 
         pyramid, bb_state = self.visual.backbone.apply(
-            params["visual_model"]["backbone"], state["visual_model"]["backbone"], x, train=train
+            params["visual_model"]["backbone"], state.get("visual_model", {}).get("backbone", {}), x, train=train
         )
         y0, y1, y2, y3 = pyramid
         z, _ = cin.apply(params["conv_in_1x1"], {}, y0)  # (B,4,7,12,C)

@@ -98,6 +98,9 @@ class BatchNorm:
         return init_batchnorm(self.channels)
 
     def apply(self, params, state, x, *, train=False):
+        if not params:
+            # BN was folded into the preceding conv (inference.fold_batchnorms)
+            return x, state
         if train:
             return batchnorm_train(params, state, x, eps=self.eps, momentum=self.momentum)
         return batchnorm_apply(params, state, x, eps=self.eps), state

@@ -136,20 +136,20 @@ class S3DBackbone:
         base1, base2, base3, base4 = self._stages()
         new_state = {}
 
-        y3, ns = base1.apply(params["base1"], state["base1"], x, train=train)
+        y3, ns = base1.apply(params["base1"], state.get("base1", {}), x, train=train)
         new_state["base1"] = ns
 
         y = MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)).apply({}, {}, y3)[0]
-        y2, ns = base2.apply(params["base2"], state["base2"], y, train=train)
+        y2, ns = base2.apply(params["base2"], state.get("base2", {}), y, train=train)
         new_state["base2"] = ns
 
         y = MaxPool3d((3, 3, 3), (2, 2, 2), (1, 1, 1)).apply({}, {}, y2)[0]
-        y1, ns = base3.apply(params["base3"], state["base3"], y, train=train)
+        y1, ns = base3.apply(params["base3"], state.get("base3", {}), y, train=train)
         new_state["base3"] = ns
 
         y = MaxPool3d((2, 1, 1), (2, 1, 1), 0).apply({}, {}, y1)[0]
         y = MaxPool3d((1, 2, 2), (1, 2, 2), 0).apply({}, {}, y)[0]
-        y0, ns = base4.apply(params["base4"], state["base4"], y, train=train)
+        y0, ns = base4.apply(params["base4"], state.get("base4", {}), y, train=train)
         new_state["base4"] = ns
 
         return [y0, y1, y2, y3], new_state

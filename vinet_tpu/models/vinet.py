@@ -44,7 +44,7 @@ class ViNet:
     def apply(self, params, state, x, *, train=False):
         """x: (B, T, H, W, 3) normalized clip -> ((B, H, W) map, new_state)."""
         pyramid, bb_state = self.backbone.apply(
-            params["backbone"], state["backbone"], x, train=train
+            params["backbone"], state.get("backbone", {}), x, train=train
         )
         out, _ = self.decoder.apply(params["decoder"], {}, pyramid, train=train)
         return out, {"backbone": bb_state}

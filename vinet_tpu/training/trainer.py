@@ -1,0 +1,112 @@
+"""Jitted training / eval steps over a sharded mesh.
+
+Replaces the reference's Python train loop body (/root/reference/train.py:192-229:
+per-batch host->device copies, DataParallel scatter/gather, eager backward)
+with a single donated, jit-compiled pure step: forward + loss + grad + Adam
+update + BN-stat update in one XLA program. Gradient reduction across the
+"data" mesh axis is inserted by GSPMD — no explicit collectives.
+
+The train state is a plain dict pytree {"params", "state", "opt_state",
+"step"} — trivially checkpointable (vinet_tpu.io.checkpoint) and shardable
+(vinet_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vinet_tpu.training.losses import LossConfig, cc, loss_func, similarity
+
+
+def adam(lr: float = 1e-4) -> optax.GradientTransformation:
+    """The reference's optimizer: Adam(lr=1e-4), torch defaults
+    (/root/reference/train.py:187-188)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_train_state(model, key, optimizer: optax.GradientTransformation) -> dict:
+    params, state = model.init(key)
+    return {
+        "params": params,
+        "state": state,
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransformation,
+                    *, donate: bool = True) -> Callable:
+    """Returns jitted step(train_state, batch) -> (train_state, metrics).
+
+    batch: {"clip": (B,T,H,W,3), "gt": (B,H,W) or (B,Cl,H,W),
+            optional "audio": (B,L,1)}.
+    """
+
+    def step(ts, batch):
+        def loss_fn(params):
+            if "audio" in batch:
+                pred, new_state = model.apply(params, ts["state"], batch["clip"],
+                                              batch["audio"], train=True)
+            else:
+                pred, new_state = model.apply(params, ts["state"], batch["clip"], train=True)
+            loss = loss_func(pred, batch["gt"], loss_cfg)
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts["params"])
+        updates, opt_state = optimizer.update(grads, ts["opt_state"], ts["params"])
+        params = optax.apply_updates(ts["params"], updates)
+        new_ts = {
+            "params": params,
+            "state": new_state,
+            "opt_state": opt_state,
+            "step": ts["step"] + 1,
+        }
+        gnorm = optax.global_norm(grads)
+        return new_ts, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_cfg: LossConfig) -> Callable:
+    """Jitted eval: forward in eval mode + loss/cc/sim at model resolution.
+    (The reference's validate() additionally resizes to native GT size on the
+    host per sample, train.py:251-263; the CLI does that with device ops.)"""
+
+    def step(ts, batch):
+        if "audio" in batch:
+            pred, _ = model.apply(ts["params"], ts["state"], batch["clip"], batch["audio"])
+        else:
+            pred, _ = model.apply(ts["params"], ts["state"], batch["clip"])
+        gt = batch["gt"]
+        return {
+            "loss": loss_func(pred, gt, loss_cfg),
+            "cc": cc(pred, gt),
+            "sim": similarity(pred, gt),
+        }, pred
+
+    return jax.jit(step)
+
+
+class AverageMeter:
+    """Running mean with the reference's semantics (/root/reference/utils.py:41-59)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        val = float(val)
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
