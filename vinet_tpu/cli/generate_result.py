@@ -1,0 +1,113 @@
+"""Visual-only sliding-window inference CLI (reference: generate_result.py).
+
+Per video dir under --path_indata (DHF1K layout <video>/images/*), predicts a
+saliency map for every frame with the causal sliding window + flipped warmup
+(/root/reference/generate_result.py:58-73), resized to the native frame size,
+blurred, min-max normalized, and saved as PNG under --save_path/<video>/.
+
+TPU-native differences: windows run batched (--window_batch) in bf16 with
+folded BN; resize+blur run on device. Flag-compatible --start_idx/--num_parts
+process sharding is kept.
+
+Usage:
+  python -m vinet_tpu.cli.generate_result --path_indata DIR --save_path OUT \
+      --file_weight ViNet_DHF1K.pt [--clip_size 32] [--num_hier 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from os.path import join
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def build_parser():
+    from vinet_tpu.cli.common import add_model_args
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--file_weight", type=str, default=None,
+                   help=".pt (torch, converted on load) or .npz weights; "
+                        "omit for random init (smoke tests)")
+    p.add_argument("--path_indata", type=str, required=True)
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--start_idx", type=int, default=-1)
+    p.add_argument("--num_parts", type=int, default=4)
+    p.add_argument("--window_batch", type=int, default=16)
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--pad_short", action="store_true",
+                   help="pad videos shorter than 2*clip_size-1 by repeating the "
+                        "first frame (Hollywood/UCF semantics) instead of skipping")
+    add_model_args(p)
+    return p
+
+
+def run(args) -> int:
+    import jax.numpy as jnp
+
+    from vinet_tpu.cli.common import build_model, load_weights, shard_video_list
+    from vinet_tpu.inference import SlidingWindowPredictor
+    from vinet_tpu.io.images import load_frame, save_map
+
+    model = build_model(args)
+    import jax
+
+    params, state = model.init(jax.random.PRNGKey(0))
+    if args.file_weight:
+        params, state = load_weights(args.file_weight, model, params, state)
+
+    predictor = SlidingWindowPredictor(
+        model, params, state, clip_size=args.clip_size, batch=args.window_batch,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+
+    videos = sorted(
+        d for d in os.listdir(args.path_indata)
+        if os.path.isdir(join(args.path_indata, d))
+    )
+    videos = shard_video_list(videos, args.start_idx, args.num_parts)
+
+    n_maps = 0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for dname in videos:
+            print(f"processing {dname}", flush=True)
+            frame_dir = join(args.path_indata, dname, "images")
+            frames = sorted(
+                f for f in os.listdir(frame_dir) if os.path.isfile(join(frame_dir, f))
+            )
+            if len(frames) < 2 * args.clip_size - 1 and not args.pad_short:
+                print(" more frames are needed", flush=True)
+                continue
+            os.makedirs(join(args.save_path, dname), exist_ok=True)
+
+            decoded = list(pool.map(lambda f: load_frame(join(frame_dir, f)), frames))
+            clip_u8 = np.stack([d[0] for d in decoded])
+            orig_w, orig_h = decoded[0][1]
+
+            futures = []
+            for frame_idx, smap in predictor.predict_video(
+                clip_u8, out_size=(orig_h, orig_w), pad_short=args.pad_short
+            ):
+                # keep the frame's own filename/extension (reference img_save
+                # writes png as png, jpg at quality 100)
+                out_path = join(args.save_path, dname, frames[frame_idx])
+                futures.append(pool.submit(save_map, smap, out_path, normalize=True))
+                n_maps += 1
+            for f in futures:
+                f.result()
+    print(f"wrote {n_maps} maps", flush=True)
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

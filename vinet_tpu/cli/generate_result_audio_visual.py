@@ -1,0 +1,125 @@
+"""Audio-visual sliding-window inference CLI
+(reference: generate_result_audio_visual.py).
+
+STAViS-layout datasets: fold lists name the videos; frames live under
+<frames_root>/<DS>/<video>/img_%05d.jpg; audio under
+<audio_root>/<DS>/<video>/<video>.wav. Each window gets its Hanning-windowed
+audio excerpt; warmup windows flip BOTH the clip and the audio in-graph
+(reference :192-194). Maps are saved as jpg (quality 100) for eval_diem.
+
+Usage:
+  python -m vinet_tpu.cli.generate_result_audio_visual \
+      --path_data ROOT --dataset DIEM --split -1 \
+      --file_weight AViNet_DIEM.pt --save_path OUT --use_sound True
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from os.path import join
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def build_parser():
+    from vinet_tpu.cli.common import add_model_args
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--file_weight", type=str, default=None)
+    p.add_argument("--path_data", type=str, required=True,
+                   help="STAViS root containing fold_lists/, video_frames/, "
+                        "video_audio/, annotations/")
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--dataset", type=str, default="DIEM")
+    p.add_argument("--split", type=int, default=-1)
+    p.add_argument("--mode", type=str, default="test")
+    p.add_argument("--start_idx", type=int, default=-1)
+    p.add_argument("--num_parts", type=int, default=4)
+    p.add_argument("--window_batch", type=int, default=16)
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"])
+    add_model_args(p)
+    return p
+
+
+def run(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.cli.common import build_model, load_weights, shard_video_list
+    from vinet_tpu.data.audio import audio_excerpt, build_audio_index
+    from vinet_tpu.data.datasets import read_fold_list
+    from vinet_tpu.inference import SlidingWindowPredictor
+    from vinet_tpu.io.images import load_frame, save_map
+
+    model = build_model(args)
+    params, state = model.init(jax.random.PRNGKey(0))
+    if args.file_weight:
+        params, state = load_weights(args.file_weight, model, params, state)
+
+    predictor = SlidingWindowPredictor(
+        model, params, state, clip_size=args.clip_size, batch=args.window_batch,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+
+    if args.dataset == "DIEM":
+        fold = f"DIEM_list_{args.mode}_fps.txt"
+    else:
+        fold = f"{args.dataset}_list_{args.mode}_{args.split}_fps.txt"
+    data = read_fold_list(join(args.path_data, "fold_lists", fold))
+    videos = shard_video_list(sorted(data["names"]), args.start_idx, args.num_parts)
+    fps = dict(zip(data["names"], data["fps"]))
+
+    audio_index = {}
+    if args.use_sound:
+        nframes = {}
+        for v in videos:
+            d = join(args.path_data, "video_frames", args.dataset, v)
+            nframes[v] = len(os.listdir(d)) if os.path.isdir(d) else 0
+        audio_index = build_audio_index(
+            videos, nframes, fps, join(args.path_data, "video_audio", args.dataset),
+            gt_root=join(args.path_data, "annotations", args.dataset),
+        )
+
+    n_maps = 0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for v in videos:
+            frame_dir = join(args.path_data, "video_frames", args.dataset, v)
+            frames = sorted(os.listdir(frame_dir))
+            if len(frames) < 2 * args.clip_size - 1:
+                print(f"{v}: more frames are needed", flush=True)
+                continue
+            print(f"processing {v}", flush=True)
+            os.makedirs(join(args.save_path, v), exist_ok=True)
+            decoded = list(pool.map(lambda f: load_frame(join(frame_dir, f)), frames))
+            clip_u8 = np.stack([d[0] for d in decoded])
+            orig_w, orig_h = decoded[0][1]
+
+            audio_fn = None
+            if args.use_sound:
+                info = audio_index.get(v)
+                audio_fn = lambda start, _info=info: audio_excerpt(_info, args.clip_size, start)
+
+            futures = []
+            for frame_idx, smap in predictor.predict_video(
+                clip_u8, out_size=(orig_h, orig_w), audio_fn=audio_fn
+            ):
+                out = join(args.save_path, v, os.path.splitext(frames[frame_idx])[0] + ".jpg")
+                futures.append(pool.submit(save_map, smap, out, normalize=True))
+                n_maps += 1
+            for f in futures:
+                f.result()
+    print(f"wrote {n_maps} maps", flush=True)
+    return 0
+
+
+def main(argv=None):
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,238 @@
+"""Training CLI (reference: train.py).
+
+Same knob surface as the reference's argparse (/root/reference/train.py:21-66)
+minus its footguns, plus: orbax checkpoints with step-level --resume (the
+reference restarts schedules from scratch, SURVEY.md §5), data-parallel mesh
+sharding, and structured per-interval logging.
+
+Dataset selection mirrors train.py:97-136: DHF1KDataset | SoundDataset (the
+six AV datasets concatenated) | Hollywood_UCFDataset.
+
+Usage (DHF1K):
+  python -m vinet_tpu.cli.train --train_path_data D/annotation \
+      --val_path_data D/val --no_epochs 40 --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def build_parser():
+    from vinet_tpu.cli.common import add_bool_flag, add_model_args
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--no_epochs", type=int, default=40)
+    p.add_argument("--lr", type=float, default=1e-4)
+    for flag, default in (("kldiv", True), ("cc", False), ("nss", False), ("sim", False),
+                          ("l1", False), ("lr_sched", False)):
+        add_bool_flag(p, flag, default)
+    p.add_argument("--kldiv_coeff", type=float, default=1.0)
+    p.add_argument("--cc_coeff", type=float, default=-1.0)
+    p.add_argument("--sim_coeff", type=float, default=-1.0)
+    p.add_argument("--nss_coeff", type=float, default=1.0)
+    p.add_argument("--l1_coeff", type=float, default=1.0)
+    p.add_argument("--step_size", type=int, default=5, help="lr decay interval (epochs) if --lr_sched")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--log_interval", type=int, default=5)
+    p.add_argument("--no_workers", type=int, default=4)
+    p.add_argument("--train_path_data", type=str, required=True)
+    p.add_argument("--val_path_data", type=str, default=None)
+    p.add_argument("--dataset", type=str, default="DHF1KDataset",
+                   choices=["DHF1KDataset", "SoundDataset", "Hollywood", "UCF"])
+    p.add_argument("--alternate", type=int, default=1)
+    p.add_argument("--split", type=int, default=-1)
+    p.add_argument("--multi_frame", type=int, default=0)
+    p.add_argument("--model_val_path", type=str, default="vinet_best.npz",
+                   help="best-val weights (npz)")
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="orbax dir for full train-state checkpoints")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--file_weight", type=str, default=None,
+                   help="S3D Kinetics-400 backbone init (.pt) — reference train.py:69")
+    p.add_argument("--load_weight", type=str, default=None,
+                   help="full-model weights to start from (.pt or .npz)")
+    p.add_argument("--max_steps_per_epoch", type=int, default=0, help="0 = full epoch")
+    p.add_argument("--model_axis", type=int, default=1, help="mesh model-parallel size")
+    add_model_args(p)
+    return p
+
+
+def make_datasets(args):
+    from vinet_tpu.data import DHF1KDataset, HollywoodUCFDataset, SoundDataset
+    from vinet_tpu.data.datasets import AV_DATASETS, ConcatDataset
+
+    if args.dataset == "DHF1KDataset":
+        train = DHF1KDataset(args.train_path_data, args.clip_size, mode="train",
+                             multi_frame=args.multi_frame, alternate=args.alternate)
+        val = (DHF1KDataset(args.val_path_data, args.clip_size, mode="val",
+                            alternate=args.alternate) if args.val_path_data else None)
+    elif args.dataset == "SoundDataset":
+        trains, vals = [], []
+        for ds in AV_DATASETS:
+            trains.append(SoundDataset(args.train_path_data, args.clip_size, dataset_name=ds,
+                                       split=args.split, mode="train", use_sound=args.use_sound))
+            vals.append(SoundDataset(args.train_path_data, args.clip_size, dataset_name=ds,
+                                     split=args.split, mode="test", use_sound=args.use_sound))
+        train, val = ConcatDataset(trains), ConcatDataset(vals)
+    else:
+        train = HollywoodUCFDataset(args.train_path_data, args.clip_size, mode="train",
+                                    multi_frame=args.multi_frame)
+        val = (HollywoodUCFDataset(args.val_path_data, args.clip_size, mode="val")
+               if args.val_path_data else None)
+    return train, val
+
+
+def run(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vinet_tpu.cli.common import build_model, load_weights
+    from vinet_tpu.data import Loader, device_preprocess
+    from vinet_tpu.io.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+    from vinet_tpu.io.convert import save_npz_tree
+    from vinet_tpu.parallel import create_mesh, shard_pytree
+    from vinet_tpu.parallel.mesh import shard_batch
+    from vinet_tpu.training import LossConfig
+    from vinet_tpu.training.trainer import (
+        AverageMeter,
+        adam,
+        init_train_state,
+        make_train_step,
+    )
+
+    model = build_model(args)
+    loss_cfg = LossConfig(
+        kldiv=args.kldiv, cc=args.cc, sim=args.sim, nss=args.nss, l1=args.l1,
+        kldiv_coeff=args.kldiv_coeff, cc_coeff=args.cc_coeff,
+        sim_coeff=args.sim_coeff, nss_coeff=args.nss_coeff, l1_coeff=args.l1_coeff,
+    )
+    train_ds, val_ds = make_datasets(args)
+    train_loader = Loader(train_ds, batch_size=args.batch_size, shuffle=True,
+                          num_workers=args.no_workers, seed=0)
+    val_loader = (Loader(val_ds, batch_size=1, shuffle=False,
+                         num_workers=args.no_workers, drop_last=False) if val_ds else None)
+
+    if args.lr_sched:
+        # The reference's --lr_sched path references an undefined scheduler
+        # (train.py:293-294 NameError). Here: torch-StepLR-style decay, 0.1x
+        # every step_size epochs, expressed as an optax schedule.
+        steps_per_epoch = max(1, len(train_loader))
+        schedule = optax.exponential_decay(
+            args.lr, transition_steps=args.step_size * steps_per_epoch,
+            decay_rate=0.1, staircase=True)
+        optimizer = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        optimizer = adam(args.lr)
+
+    ts = init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    if args.file_weight:
+        params, state = load_weights(args.file_weight, model, ts["params"], ts["state"])
+        ts = dict(ts, params=params, state=state, opt_state=optimizer.init(params))
+    if args.load_weight:
+        params, state = load_weights(args.load_weight, model, ts["params"], ts["state"])
+        ts = dict(ts, params=params, state=state, opt_state=optimizer.init(params))
+    start_epoch = 0
+    if args.resume and args.checkpoint_dir and latest_step(args.checkpoint_dir) is not None:
+        ts = restore_checkpoint(args.checkpoint_dir, ts)
+        print(f"resumed from step {int(ts['step'])}", flush=True)
+
+    import math
+
+    n_dev = len(jax.devices())
+    avail = n_dev // args.model_axis
+    data_axis = math.gcd(args.batch_size, avail)
+    mesh = create_mesh(jax.devices()[: data_axis * args.model_axis], model=args.model_axis)
+    if data_axis * args.model_axis < n_dev:
+        print(f"using {data_axis * args.model_axis}/{n_dev} devices "
+              f"(batch_size {args.batch_size} limits the data axis)", flush=True)
+    ts = {
+        "params": shard_pytree(ts["params"], mesh),
+        "state": shard_pytree(ts["state"], mesh),
+        "opt_state": shard_pytree(ts["opt_state"], mesh),
+        "step": ts["step"],
+    }
+
+    step_fn = make_train_step(model, loss_cfg, optimizer)
+
+    @jax.jit
+    def fwd(params, state, clip):
+        out, _ = model.apply(params, state, clip)
+        return out
+
+    @jax.jit
+    def fwd_audio(params, state, clip, audio):
+        out, _ = model.apply(params, state, clip, audio)
+        return out
+
+    def to_device(batch):
+        out = {"clip": device_preprocess(jnp.asarray(batch["clip"]))}
+        out["gt"] = jnp.asarray(batch["gt"], jnp.float32)
+        if "audio" in batch:
+            out["audio"] = jnp.asarray(batch["audio"], jnp.float32)
+        return shard_batch(out, mesh)
+
+    best_loss = float("inf")
+    for epoch in range(start_epoch, args.no_epochs):
+        tic = time.time()
+        total, cur = AverageMeter(), AverageMeter()
+        for idx, batch in enumerate(train_loader):
+            if args.max_steps_per_epoch and idx >= args.max_steps_per_epoch:
+                break
+            ts, metrics = step_fn(ts, to_device(batch))
+            loss = float(metrics["loss"])
+            total.update(loss)
+            cur.update(loss)
+            if idx % args.log_interval == args.log_interval - 1:
+                print("[%2d, %5d] avg_loss : %.5f, time:%3f minutes"
+                      % (epoch, idx, cur.avg, (time.time() - tic) / 60), flush=True)
+                cur.reset()
+        print("[%2d, train] avg_loss : %.5f" % (epoch, total.avg), flush=True)
+
+        if val_loader is not None:
+            from vinet_tpu.ops.image import gaussian_blur
+            vl, vc, vs = AverageMeter(), AverageMeter(), AverageMeter()
+            from vinet_tpu.training.losses import cc as cc_l, similarity as sim_l, loss_func
+            for batch in val_loader:
+                clip = device_preprocess(jnp.asarray(batch["clip"]))
+                if "audio" in batch:
+                    pred = fwd_audio(ts["params"], ts["state"], clip,
+                                     jnp.asarray(batch["audio"], jnp.float32))
+                else:
+                    pred = fwd(ts["params"], ts["state"], clip)
+                gt = jnp.asarray(batch["gt"], jnp.float32)
+                # native-res GT: resize pred to GT, blur (reference train.py:251-257)
+                pred = jax.image.resize(pred, gt.shape, method="bilinear", antialias=False)
+                pred = gaussian_blur(pred)
+                vl.update(float(loss_func(pred, gt, loss_cfg)))
+                vc.update(float(cc_l(pred, gt)))
+                vs.update(float(sim_l(pred, gt)))
+            print("[%2d, val] avg_loss : %.5f cc_loss : %.5f sim_loss : %.5f, time : %3f"
+                  % (epoch, vl.avg, vc.avg, vs.avg, (time.time() - tic) / 60), flush=True)
+            val_loss = vl.avg
+        else:
+            val_loss = total.avg
+
+        if args.checkpoint_dir:
+            save_checkpoint(args.checkpoint_dir, jax.device_get(ts))
+        if val_loss <= best_loss:
+            best_loss = val_loss
+            print("[%2d,  save, %s]" % (epoch, args.model_val_path), flush=True)
+            host = jax.device_get(ts)
+            save_npz_tree(args.model_val_path, host["params"], host["state"])
+    return 0
+
+
+def main(argv=None):
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -65,31 +65,56 @@ class SlidingWindowPredictor:
         self.blur_ksize = blur_ksize
         self._jitted = {}
 
-    def _fn(self, out_hw: tuple):
-        """Jitted (frames_u8, idx, flip) -> blurred maps at out_hw; cached per
-        output size."""
-        if out_hw in self._jitted:
-            return self._jitted[out_hw]
+    def _gather_fn(self):
+        """Jitted (frames_u8, idx, flip) -> normalized clips in compute dtype.
+        Kept as its OWN program: fusing the dynamic uint8 gather into the
+        model program makes XLA produce a catastrophically slow executable on
+        TPU (~90 s/batch observed vs milliseconds split)."""
+        if "gather" in self._jitted:
+            return self._jitted["gather"]
 
-        def run(frames_u8, idx, flip, audio=None):
+        def run(frames_u8, idx, flip):
             clips = frames_u8[idx]  # (B, T, H, W, 3) gather
             # time-flip where requested (warmup windows)
             clips = jnp.where(flip[:, None, None, None, None], clips[:, ::-1], clips)
-            x = device_preprocess(clips).astype(self.dtype)
+            return device_preprocess(clips).astype(self.dtype)
+
+        fn = jax.jit(run)
+        self._jitted["gather"] = fn
+        return fn
+
+    def _model_fn(self):
+        """Jitted clips[, audio] -> model-res f32 maps. Compiled once per
+        (batch, clip) shape — independent of video native size."""
+        if "model" in self._jitted:
+            return self._jitted["model"]
+
+        def run(x, flip, audio=None):
             if audio is None:
                 maps, _ = self.model.apply(self.params, self.state, x)
             else:
                 aud = audio.astype(self.dtype)
                 aud = jnp.where(flip[:, None, None], aud[:, ::-1], aud)
                 maps, _ = self.model.apply(self.params, self.state, x, aud)
-            maps = maps.astype(jnp.float32)
+            return maps.astype(jnp.float32)
+
+        fn = jax.jit(run)
+        self._jitted["model"] = fn
+        return fn
+
+    def _post_fn(self, out_hw: tuple):
+        """Jitted maps -> native-size blurred maps; cached per output size."""
+        if out_hw in self._jitted:
+            return self._jitted[out_hw]
+
+        def post(maps):
             if out_hw != maps.shape[1:]:
                 maps = jax.image.resize(
                     maps, (maps.shape[0], *out_hw), method="bilinear", antialias=False
                 )
             return gaussian_blur(maps, ksize=self.blur_ksize)
 
-        fn = jax.jit(run)
+        fn = jax.jit(post)
         self._jitted[out_hw] = fn
         return fn
 
@@ -113,7 +138,9 @@ class SlidingWindowPredictor:
         if not plan:
             return
         out_hw = tuple(out_size) if out_size is not None else frames_u8.shape[1:3]
-        fn = self._fn(out_hw)
+        gather = self._gather_fn()
+        fn = self._model_fn()
+        post = self._post_fn(out_hw)
         frames_dev = jax.device_put(frames_u8)
 
         for lo in range(0, len(plan), self.batch):
@@ -130,8 +157,11 @@ class SlidingWindowPredictor:
                     [audio_fn(max(0, task.start - offset)) for task in chunk]
                     + [np.zeros_like(audio_fn(0))] * pad_n
                 )
-            maps = np.asarray(fn(frames_dev, jnp.asarray(idx), jnp.asarray(flip),
-                                 *( (jnp.asarray(audio),) if audio is not None else () )))
+            flip_d = jnp.asarray(flip)
+            clips = gather(frames_dev, jnp.asarray(idx), flip_d)
+            maps = fn(clips, flip_d,
+                      *((jnp.asarray(audio),) if audio is not None else ()))
+            maps = np.asarray(post(maps))
             for j, task in enumerate(chunk):
                 out_frame = task.out_frame - offset
                 if out_frame >= 0:
