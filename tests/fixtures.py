@@ -70,6 +70,13 @@ def make_sound_dataset(root, *, dataset="DIEM", n_videos=1, n_frames=40,
             img, gt = _blob_frame(h, w, cy, cx, rng)
             Image.fromarray(img).save(join(fdir, "img_%05d.jpg" % f))
             Image.fromarray(gt).save(join(adir, "eyeMap_%05d.jpg" % f))
+            fix = np.zeros((h, w), np.float64)
+            fix[cy, cx] = 1
+            fix[min(cy + 2, h - 1), min(cx + 2, w - 1)] = 1
+            from scipy.io import savemat
+
+            savemat(join(root, "annotations", dataset, name, "fixMap_%05d.mat" % f),
+                    {"eyeMap": fix})
         n_samples = int(22050 * n_frames / fps)
         wav = (1000 * np.sin(np.linspace(0, 800, n_samples))).astype(np.int16)
         wavfile.write(join(wdir, f"{name}.wav"), 22050, wav)

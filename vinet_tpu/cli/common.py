@@ -35,6 +35,10 @@ def add_model_args(parser):
     parser.add_argument("--transformer_in_channel", type=int, default=32)
     add_bool_flag(parser, "use_sound", False)
     add_bool_flag(parser, "use_transformer", False)
+    parser.add_argument("--input_h", type=int, default=224,
+                        help="model input height (reference fixed 224)")
+    parser.add_argument("--input_w", type=int, default=384,
+                        help="model input width (reference fixed 384)")
 
 
 def build_model(args):
@@ -48,8 +52,13 @@ def build_model(args):
             nhead=args.nhead,
             num_hier=args.num_hier,
             clip_size=args.clip_size,
+            input_hw=(args.input_h, args.input_w),
         )
     return ViNet(num_hier=args.num_hier, clip_size=args.clip_size)
+
+
+def model_input_size(args) -> tuple:
+    return (getattr(args, "input_h", 224), getattr(args, "input_w", 384))
 
 
 def load_weights(path: str, model, params, state):

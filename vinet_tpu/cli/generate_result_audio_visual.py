@@ -47,10 +47,13 @@ def build_parser():
 
 
 def run(args) -> int:
+    from vinet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
-    from vinet_tpu.cli.common import build_model, load_weights, shard_video_list
+    from vinet_tpu.cli.common import build_model, load_weights, model_input_size, shard_video_list
     from vinet_tpu.data.audio import audio_excerpt, build_audio_index
     from vinet_tpu.data.datasets import read_fold_list
     from vinet_tpu.inference import SlidingWindowPredictor
@@ -95,7 +98,7 @@ def run(args) -> int:
                 continue
             print(f"processing {v}", flush=True)
             os.makedirs(join(args.save_path, v), exist_ok=True)
-            decoded = list(pool.map(lambda f: load_frame(join(frame_dir, f)), frames))
+            decoded = list(pool.map(lambda f: load_frame(join(frame_dir, f), size=model_input_size(args)), frames))
             clip_u8 = np.stack([d[0] for d in decoded])
             orig_w, orig_h = decoded[0][1]
 

@@ -89,6 +89,9 @@ def make_datasets(args):
 
 
 def run(args) -> int:
+    from vinet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

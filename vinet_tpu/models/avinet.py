@@ -27,8 +27,17 @@ from vinet_tpu.models.transformer import TransformerEncoder
 from vinet_tpu.models.vinet import ViNet
 from vinet_tpu.ops.conv import maxpool3d
 
-_Y0 = (4, 7, 12)  # y0 (T, H, W) for 32-frame clips
-_TOKENS = _Y0[0] * _Y0[1] * _Y0[2]  # 336
+def _y0_geometry(clip_size: int, input_hw: tuple) -> tuple:
+    """y0 (T, H, W) from the S3D downsampling plan: T/8, H/32, W/32.
+    Defaults (32, (224, 384)) -> (4, 7, 12), the reference's hard-coded
+    fusion geometry (model.py:154,183)."""
+    return (clip_size // 8, input_hw[0] // 32, input_hw[1] // 32)
+
+
+def _pooled_len(t_, h_, w_) -> int:
+    """Flattened length after MaxPool3d((4,1,1), stride=(2,1,2)): 42 for the
+    default geometry (model.py:229)."""
+    return ((t_ - 4) // 2 + 1) * h_ * ((w_ - 1) // 2 + 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +71,7 @@ def _tokens_from_ndhwc(y: jax.Array) -> jax.Array:
     return jnp.transpose(y, (0, 4, 1, 2, 3)).reshape(b, y.shape[-1], -1)
 
 
-def _ndhwc_from_tokens(t: jax.Array, tdhw=_Y0) -> jax.Array:
+def _ndhwc_from_tokens(t: jax.Array, tdhw) -> jax.Array:
     """(B, C, T*H*W) -> (B, T, H, W, C)."""
     b, c, _ = t.shape
     return jnp.transpose(t.reshape(b, c, *tdhw), (0, 2, 3, 4, 1))
@@ -80,6 +89,16 @@ class AViNet:
     nhead: int = 4
     num_hier: int = 3
     clip_size: int = 32
+    input_hw: tuple = (224, 384)
+
+    @property
+    def y0_tdhw(self):
+        return _y0_geometry(self.clip_size, self.input_hw)
+
+    @property
+    def tokens(self):
+        t_, h_, w_ = self.y0_tdhw
+        return t_ * h_ * w_
 
     @property
     def visual(self) -> ViNet:
@@ -91,14 +110,14 @@ class AViNet:
 
     @property
     def bilinear(self) -> Bilinear:
-        return Bilinear(42, 3, _TOKENS)
+        return Bilinear(_pooled_len(*self.y0_tdhw), 3, self.tokens)
 
     def _refiner(self):
         c = self.transformer_in_channel
         return (
             Conv3d(1024, c, 1, 1, 0, use_bias=True),
-            TransformerEncoder(_TOKENS, self.nhead, self.num_encoder_layers,
-                               hidden_size=_TOKENS, max_len=c),
+            TransformerEncoder(self.tokens, self.nhead, self.num_encoder_layers,
+                               hidden_size=self.tokens, max_len=c),
             Conv3d(c, 1024, 1, 1, 0, use_bias=True),
         )
 
@@ -129,14 +148,14 @@ class AViNet:
         v = _tokens_from_ndhwc(y0p)  # (B, 1024, 42)
         at = jnp.swapaxes(a, 1, 2)  # (B, 1024, 3)
         fused, _ = self.bilinear.apply(params["bilinear"], {}, v, at)  # (B, 1024, 336)
-        fused = _ndhwc_from_tokens(fused)  # (B, 4, 7, 12, 1024)
+        fused = _ndhwc_from_tokens(fused, self.y0_tdhw)  # (B, 4, 7, 12, 1024)
 
         if self.use_transformer:
             cin, tr, cout = self._refiner()
             z, _ = cin.apply(params["conv_in_1x1"], {}, fused)  # (B,4,7,12,C)
             tokens = _tokens_from_ndhwc(z)  # (B, C, 336): channels are tokens
             tokens, _ = tr.apply(params["transformer"], {}, tokens, train=train, rng=rng)
-            z = _ndhwc_from_tokens(tokens)
+            z = _ndhwc_from_tokens(tokens, self.y0_tdhw)
             fused, _ = cout.apply(params["conv_out_1x1"], {}, z)
 
         out, _ = self.visual.decoder.apply(
@@ -158,6 +177,16 @@ class AViNetFusion:
     nhead: int = 4
     num_hier: int = 3
     clip_size: int = 32
+    input_hw: tuple = (224, 384)
+
+    @property
+    def y0_tdhw(self):
+        return _y0_geometry(self.clip_size, self.input_hw)
+
+    @property
+    def tokens(self):
+        t_, h_, w_ = self.y0_tdhw
+        return t_ * h_ * w_
 
     @property
     def visual(self) -> ViNet:
@@ -173,7 +202,7 @@ class AViNetFusion:
             Conv3d(1024, c, 1, 1, 0, use_bias=True),  # conv_in_1x1
             Conv1d(1024, c, 1, 1, 0, use_bias=True),  # audio_conv_1x1
             TransformerEncoder(c, self.nhead, self.num_encoder_layers,
-                               hidden_size=c, max_len=_TOKENS + 3),
+                               hidden_size=c, max_len=self.tokens + 3),
         )
 
     def init(self, key):
@@ -206,9 +235,9 @@ class AViNetFusion:
 
         tokens, _ = tr.apply(params["transformer"], {}, tokens, train=train, rng=rng)
 
-        vid = jnp.swapaxes(tokens[:, :_TOKENS, :], 1, 2)  # (B, C, 336)
-        aud = jnp.mean(tokens[:, _TOKENS:, :], axis=1)  # (B, C)
-        vid = _ndhwc_from_tokens(vid)  # (B,4,7,12,C)
+        vid = jnp.swapaxes(tokens[:, : self.tokens, :], 1, 2)  # (B, C, 336)
+        aud = jnp.mean(tokens[:, self.tokens :, :], axis=1)  # (B, C)
+        vid = _ndhwc_from_tokens(vid, self.y0_tdhw)  # (B,4,7,12,C)
         aud = jnp.broadcast_to(aud[:, None, None, None, :], vid.shape)
         fused = jnp.concatenate([vid, aud], axis=-1)  # (B,4,7,12,2C)
 

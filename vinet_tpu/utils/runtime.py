@@ -1,0 +1,39 @@
+"""Runtime knobs: persistent XLA compilation cache, profiler hooks.
+
+TPU compiles of the full model take 20-200 s on this stack; the persistent
+cache makes every CLI invocation after the first start in seconds. (The
+reference has no analogue — torch eager — and no profiling hooks at all,
+SURVEY.md §5 tracing.)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    import jax
+
+    path = path or os.environ.get(
+        "VINET_XLA_CACHE", os.path.expanduser("~/.cache/vinet_tpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or backend restrictions: cache is best-effort
+
+
+@contextlib.contextmanager
+def enable_profiling(logdir: str):
+    """jax.profiler trace around a code region (view with TensorBoard)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
