@@ -171,3 +171,24 @@ def test_gaussian_blur_batched():
     y = gaussian_blur(jnp.asarray(img))
     y0 = gaussian_blur(jnp.asarray(img[0]))
     np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y0), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "kshape,stride,padding",
+    [
+        ((1, 7, 7, 3, 16), (1, 2, 2), (0, 3, 3)),  # spatial path (time->batch)
+        ((7, 1, 1, 16, 16), (2, 1, 1), (3, 0, 0)),  # temporal path (space->width)
+        ((1, 1, 1, 16, 8), (1, 1, 1), (0, 0, 0)),  # pointwise (spatial path)
+        ((2, 1, 1, 8, 8), (2, 1, 1), (0, 0, 0)),  # decoder temporal collapse
+    ],
+)
+def test_conv3d_fast_paths_match_torch(kshape, stride, padding):
+    """The 2-D-conv lowerings of factorized kernels are exact."""
+    x = RNG.randn(2, 8, 10, 12, kshape[3]).astype(np.float32)
+    w = RNG.randn(*kshape).astype(np.float32)
+    y = conv3d(jnp.asarray(x), jnp.asarray(w), stride=stride, padding=padding)
+    xt = _t(x).permute(0, 4, 1, 2, 3)
+    wt = _t(w).permute(4, 3, 0, 1, 2)
+    yt = torch.nn.functional.conv3d(xt, wt, stride=stride, padding=padding)
+    yt = yt.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(y), yt, rtol=1e-4, atol=1e-4)

@@ -11,6 +11,7 @@ usage): symmetric zero padding, floor output sizes, -inf padding for maxpool.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -37,17 +38,52 @@ def conv3d(
 
     `padding` is symmetric per spatial dim (torch convention).
     Accumulates in f32 on the MXU regardless of input dtype.
+
+    TPU dispatch: XLA's true 3-D conv path is 2-3x slower than its 2-D path
+    on v5e (measured), so the factorized cases lower to 2-D convs:
+      * spatial (1,kh,kw) kernels fold time into batch: (B*T, H, W, C)
+      * temporal (kt,1,1) kernels fold space into width: (B, T, H*W, C)
+    Both are exact reshapes of the same contraction (parity-tested vs torch).
     """
     stride = _triple(stride)
     pad = _triple(padding)
-    out = lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=stride,
-        padding=[(p, p) for p in pad],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+
+    # Experiment (A/B-tested on v5e): lowering factorized 3-D convs to 2-D is
+    # 2-3x faster per-op in isolation but ~2x SLOWER for the fused full model
+    # (the reshapes break XLA's cross-op fusion), so it's off by default.
+    lower = os.environ.get("VINET_CONV3D_LOWER", "0") == "1"
+    if lower and kt == 1 and stride[0] == 1 and pad[0] == 0:
+        b, t, h, ww, c = x.shape
+        out = lax.conv_general_dilated(
+            x.reshape(b * t, h, ww, c),
+            w[0].astype(x.dtype),
+            window_strides=stride[1:],
+            padding=[(pad[1], pad[1]), (pad[2], pad[2])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        out = out.reshape(b, t, *out.shape[1:])
+    elif lower and kh == 1 and kw == 1 and (stride[1], stride[2]) == (1, 1) and pad[1] == pad[2] == 0:
+        b, t, h, ww, c = x.shape
+        out = lax.conv_general_dilated(
+            x.reshape(b, t, h * ww, c),
+            w[:, 0].astype(x.dtype),
+            window_strides=(stride[0], 1),
+            padding=[(pad[0], pad[0]), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        out = out.reshape(b, out.shape[1], h, ww, out.shape[-1])
+    else:
+        out = lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=stride,
+            padding=[(p, p) for p in pad],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)
