@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--dataset", type=str, default="DIEM")
     p.add_argument("--split", type=int, default=-1)
     p.add_argument("--mode", type=str, default="test")
+    p.add_argument("--fps_json", type=str, default=None,
+                   help="DAVE-style {video: fps} json instead of a fold list "
+                        "(reference generate_result_dave.py:24-32)")
     p.add_argument("--start_idx", type=int, default=-1)
     p.add_argument("--num_parts", type=int, default=4)
     p.add_argument("--window_batch", type=int, default=16)
@@ -69,11 +72,16 @@ def run(args) -> int:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
 
-    if args.dataset == "DIEM":
+    if getattr(args, "fps_json", None):
+        from vinet_tpu.data.datasets import read_fps_json
+
+        data = read_fps_json(args.fps_json)
+    elif args.dataset == "DIEM":
         fold = f"DIEM_list_{args.mode}_fps.txt"
+        data = read_fold_list(join(args.path_data, "fold_lists", fold))
     else:
         fold = f"{args.dataset}_list_{args.mode}_{args.split}_fps.txt"
-    data = read_fold_list(join(args.path_data, "fold_lists", fold))
+        data = read_fold_list(join(args.path_data, "fold_lists", fold))
     videos = shard_video_list(sorted(data["names"]), args.start_idx, args.num_parts)
     fps = dict(zip(data["names"], data["fps"]))
 

@@ -116,6 +116,40 @@ def conv1d(
     return out.astype(x.dtype)
 
 
+def conv_transpose3d(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: Sequence[int] | int = 1,
+    padding: Sequence[int] | int = 0,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Transposed 3-D conv with torch ConvTranspose3d semantics:
+    out_len = (in_len - 1) * stride - 2 * padding + kernel.
+
+    x: (N,T,H,W,Cin); w: (kT,kH,kW,Cin,Cout) — note IO order matches our
+    conv3d convention (torch stores ConvTranspose weight as (Cin,Cout,k...)).
+    Implemented as an input-dilated conv with a spatially-flipped kernel —
+    a single lax.conv_general_dilated, MXU-native.
+    """
+    stride = _triple(stride)
+    pad = _triple(padding)
+    k = w.shape[:3]
+    w_flipped = w[::-1, ::-1, ::-1]
+    out = lax.conv_general_dilated(
+        x,
+        w_flipped.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=[(k[i] - 1 - pad[i], k[i] - 1 - pad[i]) for i in range(3)],
+        lhs_dilation=stride,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
 def maxpool3d(
     x: jax.Array,
     *,
