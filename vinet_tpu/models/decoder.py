@@ -20,8 +20,14 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+import os
+
 from vinet_tpu.models.layers import Conv3d
 from vinet_tpu.ops.upsample import upsample2x_hw
+
+
+def _use_pallas_head() -> bool:
+    return os.environ.get("VINET_PALLAS_HEAD", "1") != "0"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +122,16 @@ class Decoder:
         z = jax.nn.relu(z)
         z = upsample2x_hw(z)
         if "conv6" in convs:
+            if not train and _use_pallas_head():
+                # fused conv6+relu+conv7+sigmoid at full map resolution
+                # (vinet_tpu/ops/pallas_head.py); inference only (no VJP)
+                from vinet_tpu.ops.pallas_head import saliency_head
+
+                w6 = params["conv6"]["w"][:, 0, 0]  # (kt, C, C)
+                w7 = params["conv7"]["w"][0, 0, 0, :, 0]  # (C,)
+                out = saliency_head(z, w6, params["conv6"].get("b"),
+                                    w7, params["conv7"]["b"])
+                return out.astype(z.dtype), state
             z = convs["conv6"].apply(params["conv6"], {}, z)[0]
             z = jax.nn.relu(z)
         z = convs["conv7"].apply(params["conv7"], {}, z)[0]
