@@ -59,6 +59,8 @@ def build_parser():
                    help="full-model weights to start from (.pt or .npz)")
     p.add_argument("--max_steps_per_epoch", type=int, default=0, help="0 = full epoch")
     p.add_argument("--model_axis", type=int, default=1, help="mesh model-parallel size")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed and shard the data loaders per host")
     add_model_args(p)
     return p
 
@@ -90,8 +92,10 @@ def make_datasets(args):
 
 def run(args) -> int:
     from vinet_tpu.utils import enable_compilation_cache
+    from vinet_tpu.utils.runtime import init_distributed
 
     enable_compilation_cache()
+    rank, world = (init_distributed() if args.multihost else (0, 1))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -119,7 +123,7 @@ def run(args) -> int:
     )
     train_ds, val_ds = make_datasets(args)
     train_loader = Loader(train_ds, batch_size=args.batch_size, shuffle=True,
-                          num_workers=args.no_workers, seed=0)
+                          num_workers=args.no_workers, seed=0, shard=(rank, world))
     val_loader = (Loader(val_ds, batch_size=1, shuffle=False,
                          num_workers=args.no_workers, drop_last=False) if val_ds else None)
 

@@ -27,6 +27,21 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # older jax or backend restrictions: cache is best-effort
 
 
+def init_distributed() -> tuple:
+    """Multi-host bring-up: jax.distributed.initialize() (idempotent), then
+    (process_index, process_count). The reference has no multi-node story at
+    all (SURVEY.md §2.6); here one flag turns the same mesh/step into a
+    DCN-spanning program — collectives ride ICI within a slice and DCN
+    across, inserted by GSPMD."""
+    import jax
+
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-process (or already initialized)
+    return jax.process_index(), jax.process_count()
+
+
 @contextlib.contextmanager
 def enable_profiling(logdir: str):
     """jax.profiler trace around a code region (view with TensorBoard)."""
