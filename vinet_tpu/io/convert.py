@@ -27,12 +27,6 @@ _DEC4_WITH_CONV6 = {"0": "conv4", "3": "conv5", "6": "conv6", "8": "conv7"}
 _DEC4_NO_CONV6 = {"0": "conv4", "3": "conv5", "6": "conv7"}
 
 
-def _is_bn_key(parts, leaf):
-    return leaf in _BN_RENAME and (
-        any(p.startswith("bn") or p.startswith("batchnorm") or p.startswith("norm") for p in parts[-1:])
-    )
-
-
 def _convert_conv_weight(w: np.ndarray) -> np.ndarray:
     if w.ndim == 5:  # (O,I,D,H,W) -> (D,H,W,I,O)
         return np.transpose(w, (2, 3, 4, 1, 0))
@@ -157,14 +151,6 @@ def s3d_kinetics_remap(sd: dict) -> dict:
     return out
 
 
-def _merge(dst: dict, src: dict, label: str):
-    for k, v in src.items():
-        if isinstance(v, dict):
-            _merge(dst.setdefault(k, {}), v, f"{label}.{k}")
-        else:
-            dst[k] = v
-
-
 def _check_against_template(tree: dict, template: dict, path="") -> list:
     """Shape-check converted leaves against the model's init tree; returns
     the list of template leaves NOT covered by the conversion."""
@@ -250,8 +236,6 @@ def convert_torch_checkpoint(path: str, model, params, state, *, strict: bool = 
         )
 
     p, s = torch_state_dict_to_trees(sd, has_conv6=has_conv6)
-    _check_against_template(p, params)
-    _check_against_template(s, state)
     missing = _check_against_template(p, params) + _check_against_template(s, state)
     if strict and missing:
         raise ValueError(f"unconverted leaves: {missing[:10]}...")

@@ -19,7 +19,6 @@ import math
 import jax
 import jax.numpy as jnp
 
-from vinet_tpu.models.decoder import Decoder, decoder_plan
 from vinet_tpu.models.layers import Conv1d, Conv3d
 from vinet_tpu.models.s3d import S3DBackbone
 from vinet_tpu.models.soundnet import SoundNet
