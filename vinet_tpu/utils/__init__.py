@@ -1,3 +1,8 @@
-from vinet_tpu.utils.runtime import enable_compilation_cache, enable_profiling
+from vinet_tpu.utils.runtime import (
+    enable_compilation_cache,
+    enable_profiling,
+    init_distributed,
+    num_params,
+)
 
-__all__ = ["enable_compilation_cache", "enable_profiling"]
+__all__ = ["enable_compilation_cache", "enable_profiling", "init_distributed", "num_params"]

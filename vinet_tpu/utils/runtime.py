@@ -27,6 +27,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass  # older jax or backend restrictions: cache is best-effort
 
 
+def num_params(tree) -> int:
+    """Total parameter count of a pytree (reference utils.py:81-82; dedup by
+    data pointer is unnecessary here — pytrees never alias leaves)."""
+    import jax
+
+    return sum(int(leaf.size) for leaf in jax.tree_util.tree_leaves(tree))
+
+
 def init_distributed() -> tuple:
     """Multi-host bring-up: jax.distributed.initialize() (idempotent), then
     (process_index, process_count). The reference has no multi-node story at
