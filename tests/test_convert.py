@@ -109,3 +109,37 @@ def test_npz_roundtrip(converted, tmp_path):
     p2, s2 = load_npz_tree(p, params, state)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_avinet_full_conversion_parity(tmp_path):
+    """AViNet end-to-end: torch state_dict (visual_model/audionet/bilinear
+    naming) -> converter -> identical saliency maps. Requires the full
+    224x384x32 geometry (the bilinear fusion is shape-locked, model.py:229)."""
+    from tests.torch_ref import TAViNet
+    from vinet_tpu.models import AViNet
+
+    torch.manual_seed(1)
+    tm = TAViNet()
+    for mod in tm.modules():
+        if isinstance(mod, (torch.nn.BatchNorm3d, torch.nn.BatchNorm2d)):
+            mod.running_mean.data.normal_(0, 0.05)
+            mod.running_var.data.uniform_(0.8, 1.2)
+    tm.eval()
+    path = str(tmp_path / "avinet.pt")
+    torch.save(tm.state_dict(), path)
+
+    model = AViNet()
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = convert_torch_checkpoint(path, model, params, state)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 32, 224, 384, 3).astype(np.float32)
+    audio = rng.randn(1, 70560, 1).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 4, 1, 2, 3),
+                 torch.from_numpy(audio).permute(0, 2, 1).unsqueeze(3)).numpy()
+    out, _ = model.apply(params, state, jnp.asarray(x), jnp.asarray(audio))
+    out = np.asarray(out)
+    assert out.shape == ref.shape
+    err = np.abs(out - ref).max()
+    assert err < 5e-3, err

@@ -139,3 +139,48 @@ def kinetics_style_state_dict(backbone: TBackbone) -> dict:
         key = (parts[0], parts[1])
         out["base.%d.%s" % (flat_map[key], ".".join(parts[2:]))] = v
     return out
+
+
+class TSoundNet(nn.Module):
+    """SoundNet with the reference's conv-2d-as-1d naming (convN/batchnormN +
+    dormant conv8 heads) for converter tests."""
+
+    PLAN = [(1, 16, 64, 2, 32, 8), (16, 32, 32, 2, 16, 8), (32, 64, 16, 2, 8, 0),
+            (64, 128, 8, 2, 4, 0), (128, 256, 4, 2, 2, 4), (256, 512, 4, 2, 2, 0),
+            (512, 1024, 4, 2, 2, 0)]
+
+    def __init__(self):
+        super().__init__()
+        for n, (i, o, k, s, p, pool) in enumerate(self.PLAN, start=1):
+            setattr(self, f"conv{n}", nn.Conv2d(i, o, (k, 1), (s, 1), (p, 0)))
+            setattr(self, f"batchnorm{n}", nn.BatchNorm2d(o, eps=1e-5, momentum=0.1))
+            if pool:
+                setattr(self, f"maxpool{n}", nn.MaxPool2d((pool, 1), (pool, 1)))
+        self.conv8_objs = nn.Conv2d(1024, 1000, (8, 1), (2, 1))
+        self.conv8_scns = nn.Conv2d(1024, 401, (8, 1), (2, 1))
+
+    def forward(self, x):  # x: (B, 1, L, 1)
+        for n, (_, _, _, _, _, pool) in enumerate(self.PLAN, start=1):
+            x = torch.relu(getattr(self, f"batchnorm{n}")(getattr(self, f"conv{n}")(x)))
+            if pool:
+                x = getattr(self, f"maxpool{n}")(x)
+        return x
+
+
+class TAViNet(nn.Module):
+    """Bilinear-fusion AViNet twin (visual_model/audionet/bilinear naming)."""
+
+    def __init__(self):
+        super().__init__()
+        self.visual_model = TViNet()
+        self.audionet = TSoundNet()
+        self.maxpool = nn.MaxPool3d((4, 1, 1), stride=(2, 1, 2))
+        self.bilinear = nn.Bilinear(42, 3, 4 * 7 * 12)
+
+    def forward(self, x, audio):
+        a = self.audionet(audio)
+        y0, y1, y2, y3 = self.visual_model.backbone(x)
+        y0 = self.maxpool(y0)
+        fused = self.bilinear(y0.flatten(2), a.flatten(2))
+        fused = fused.view(fused.size(0), fused.size(1), 4, 7, 12)
+        return self.visual_model.decoder(fused, y1, y2, y3)
