@@ -184,3 +184,38 @@ class TAViNet(nn.Module):
         fused = self.bilinear(y0.flatten(2), a.flatten(2))
         fused = fused.view(fused.size(0), fused.size(1), 4, 7, 12)
         return self.visual_model.decoder(fused, y1, y2, y3)
+
+
+class TAViNetFusion(nn.Module):
+    """Transformer-fusion AViNet twin: conv_in_1x1 / audio_conv_1x1 /
+    transformer.transformer_encoder naming (reference model.py:116-189)."""
+
+    def __init__(self, c=512):
+        super().__init__()
+        self.visual_model = TViNet()
+        self.audionet = TSoundNet()
+        self.conv_in_1x1 = nn.Conv3d(1024, c, 1, bias=True)
+        self.audio_conv_1x1 = nn.Conv2d(1024, c, 1, bias=True)
+        enc = nn.TransformerEncoderLayer(c, 4, c, dropout=0.0)
+        self.transformer = nn.Module()
+        self.transformer.transformer_encoder = nn.TransformerEncoder(enc, 3)
+        import math as _math
+
+        pe = torch.zeros(339, c)
+        pos = torch.arange(339, dtype=torch.float).unsqueeze(1)
+        div = torch.exp(torch.arange(0, c, 2).float() * (-_math.log(10000.0) / c))
+        pe[:, 0::2] = torch.sin(pos * div)
+        pe[:, 1::2] = torch.cos(pos * div)
+        self.register_buffer("pe", pe.unsqueeze(1))
+        self.c = c
+
+    def forward(self, x, audio):
+        a = self.audio_conv_1x1(self.audionet(audio)).flatten(2)  # (B,C,3)
+        y0, y1, y2, y3 = self.visual_model.backbone(x)
+        v = self.conv_in_1x1(y0).flatten(2)  # (B,C,336)
+        fused = torch.cat([v, a], 2).permute(2, 0, 1)  # (339,B,C)
+        fused = self.transformer.transformer_encoder(fused + self.pe)
+        fused = fused.permute(1, 2, 0)  # (B,C,339)
+        vid = fused[..., :336].view(-1, self.c, 4, 7, 12)
+        aud = fused[..., 336:].mean(dim=2).view(-1, self.c, 1, 1, 1).repeat(1, 1, 4, 7, 12)
+        return self.visual_model.decoder(torch.cat([vid, aud], 1), y1, y2, y3)
