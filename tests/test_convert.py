@@ -145,6 +145,40 @@ def test_avinet_full_conversion_parity(tmp_path):
     assert err < 5e-3, err
 
 
+def test_avinet_refine_full_conversion_parity(tmp_path):
+    """AViNet use_transformer=True (self-attention refinement over the fused
+    map, reference model.py:211-221,239-247): torch twin -> converter ->
+    matching maps. Covers the conv_in_1x1/conv_out_1x1 projections and the
+    channel-as-sequence transformer (feat 336, max_len=C)."""
+    from tests.torch_ref import TAViNetRefine
+    from vinet_tpu.models import AViNet
+
+    torch.manual_seed(3)
+    tm = TAViNetRefine()
+    for mod in tm.modules():
+        if isinstance(mod, (torch.nn.BatchNorm3d, torch.nn.BatchNorm2d)):
+            mod.running_mean.data.normal_(0, 0.05)
+            mod.running_var.data.uniform_(0.8, 1.2)
+    tm.eval()
+    sd = {k: v for k, v in tm.state_dict().items() if k != "pe"}
+    path = str(tmp_path / "avinet_refine.pt")
+    torch.save(sd, path)
+
+    model = AViNet(use_transformer=True)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = convert_torch_checkpoint(path, model, params, state)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 32, 224, 384, 3).astype(np.float32)
+    audio = rng.randn(1, 70560, 1).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 4, 1, 2, 3),
+                 torch.from_numpy(audio).permute(0, 2, 1).unsqueeze(3)).numpy()
+    out, _ = model.apply(params, state, jnp.asarray(x), jnp.asarray(audio))
+    err = np.abs(np.asarray(out) - ref).max()
+    assert err < 5e-3, err
+
+
 def test_avinet_fusion_full_conversion_parity(tmp_path):
     """Transformer-fusion AViNet: torch twin -> converter -> matching maps
     (exercises the transformer name mapping incl. packed in_proj and the

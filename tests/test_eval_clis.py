@@ -64,6 +64,57 @@ def test_eval_diem_cli(pred_dir, stavis_root, capsys):
     assert -1.0 <= cc <= 1.0
 
 
+def test_eval_diem_emd_without_fixmaps(tmp_path, capsys):
+    """EMD.m scores against the EYE map (EMD.m:28,33): frames lacking a
+    fixMap_%05d.mat must still get an EMD score (regression: the CLI used to
+    gate EMD on fixMap presence)."""
+    from tests.fixtures import make_sound_dataset
+    from vinet_tpu.cli.eval_diem import main
+    from vinet_tpu.io.images import load_map, save_map
+
+    root, (name,) = make_sound_dataset(tmp_path / "data", n_videos=1, n_frames=6)
+    annot = join(str(root), "annotations", "DIEM", name)
+    for f in os.listdir(annot):  # drop every fixMap -> only eyeMaps remain
+        if f.startswith("fixMap"):
+            os.remove(join(annot, f))
+    pred = tmp_path / "pred" / name
+    os.makedirs(pred)
+    for f in sorted(os.listdir(join(annot, "maps"))):
+        save_map(load_map(join(annot, "maps", f)), join(pred, "img_" + f.split("_")[-1]))
+    rc = main([
+        "--pred_path", str(tmp_path / "pred"),
+        "--annot_path", join(str(root), "annotations", "DIEM"),
+        "--annot_file", join(str(root), "fold_lists", "DIEM_list_test_fps.txt"),
+        "--emd",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    emd = float([l for l in out.splitlines() if l.startswith("emd:")][-1].split()[-1])
+    assert np.isfinite(emd) and emd < 0.5  # pred == GT -> near-zero EMD
+    assert "nss:" not in out  # fixation metrics correctly absent
+
+
+def test_evaluate_dhf1k_kldiv_ig_metrics(tmp_path, capsys):
+    """kldiv/ig exposed through --metrics (implemented in metrics/saliency.py
+    but previously missing from the CLI surface)."""
+    from tests.fixtures import make_dhf1k
+    from vinet_tpu.cli.evaluate_dhf1k import main
+    from vinet_tpu.io.images import load_map, save_map
+
+    gt_root = make_dhf1k(tmp_path / "gt", n_videos=1, n_frames=8)
+    pred = tmp_path / "pred" / "001"
+    os.makedirs(pred)
+    for f in sorted(os.listdir(join(gt_root, "001", "maps"))):
+        save_map(load_map(join(gt_root, "001", "maps", f)), join(pred, f))
+    rc = main(["--pred_path", str(tmp_path / "pred"), "--gt_path", str(gt_root),
+               "--metrics", "cc,kldiv,ig"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    kl = float([l for l in out.splitlines() if l.startswith("kldiv:")][-1].split()[-1])
+    assert np.isfinite(kl) and kl < 0.5  # pred == GT -> tiny KL
+    assert any(l.startswith("ig:") for l in out.splitlines())
+
+
 def test_diem_val_cli(stavis_root, capsys):
     from vinet_tpu.cli.diem_val import main
 

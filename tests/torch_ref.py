@@ -186,6 +186,45 @@ class TAViNet(nn.Module):
         return self.visual_model.decoder(fused, y1, y2, y3)
 
 
+class TAViNetRefine(nn.Module):
+    """Bilinear AViNet with the use_transformer=True self-attention refinement
+    (reference model.py:211-221,239-247): conv_in_1x1 1024->C, sequence = the
+    C channels (tokens of size 336 = 4*7*12), sin/cos PE over max_len=C, 3
+    encoder layers (feat 336, hidden 336), conv_out_1x1 C->1024."""
+
+    def __init__(self, c=32):
+        super().__init__()
+        self.visual_model = TViNet()
+        self.audionet = TSoundNet()
+        self.maxpool = nn.MaxPool3d((4, 1, 1), stride=(2, 1, 2))
+        self.bilinear = nn.Bilinear(42, 3, 4 * 7 * 12)
+        self.conv_in_1x1 = nn.Conv3d(1024, c, 1, bias=True)
+        self.conv_out_1x1 = nn.Conv3d(c, 1024, 1, bias=True)
+        enc = nn.TransformerEncoderLayer(336, 4, 336, dropout=0.0)
+        self.transformer = nn.Module()
+        self.transformer.transformer_encoder = nn.TransformerEncoder(enc, 3)
+        import math as _math
+
+        pe = torch.zeros(c, 336)
+        pos = torch.arange(c, dtype=torch.float).unsqueeze(1)
+        div = torch.exp(torch.arange(0, 336, 2).float() * (-_math.log(10000.0) / 336))
+        pe[:, 0::2] = torch.sin(pos * div)
+        pe[:, 1::2] = torch.cos(pos * div)
+        self.register_buffer("pe", pe.unsqueeze(1))  # (C, 1, 336)
+
+    def forward(self, x, audio):
+        a = self.audionet(audio)
+        y0, y1, y2, y3 = self.visual_model.backbone(x)
+        y0 = self.maxpool(y0)
+        fused = self.bilinear(y0.flatten(2), a.flatten(2))
+        fused = fused.view(fused.size(0), fused.size(1), 4, 7, 12)
+        z = self.conv_in_1x1(fused).flatten(2).permute(1, 0, 2)  # (C, B, 336)
+        z = self.transformer.transformer_encoder(z + self.pe)
+        z = z.permute(1, 0, 2).view(z.size(1), z.size(0), 4, 7, 12)
+        fused = self.conv_out_1x1(z)
+        return self.visual_model.decoder(fused, y1, y2, y3)
+
+
 class TAViNetFusion(nn.Module):
     """Transformer-fusion AViNet twin: conv_in_1x1 / audio_conv_1x1 /
     transformer.transformer_encoder naming (reference model.py:116-189)."""

@@ -95,6 +95,12 @@ def run(args) -> int:
                 continue
             eye = load_map(eye_path)
             vals = {"cc": cc_score(pred, eye), "sim": similarity_score(pred, eye)}
+            if args.emd:
+                # EMD.m scores against the EYE map (EMD.m:28,33), so it does
+                # not depend on fixMap presence for the frame.
+                from vinet_tpu.metrics.emd import emd_score
+
+                vals["emd"] = emd_score(pred, eye)
             if frame_num in fix_maps:
                 fix = fix_maps[frame_num]
                 vals["nss"] = nss_score(pred, fix)
@@ -103,10 +109,6 @@ def run(args) -> int:
                     shuf1 = shuf.copy()
                     shuf1[fix == 1] = 0  # exclude current-frame fixations
                     vals["sauc"] = auc_shuffled(pred, fix, shuf1)
-                if args.emd:
-                    from vinet_tpu.metrics.emd import emd_score
-
-                    vals["emd"] = emd_score(pred, eye)
             for k, val in vals.items():
                 if np.isfinite(val):
                     frame_vals[k].append(val)

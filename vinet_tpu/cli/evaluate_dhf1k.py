@@ -31,7 +31,9 @@ def build_parser():
                    help="DHF1K layout: <video>/maps/*.png + <video>/fixation/*")
     p.add_argument("--metrics", type=str,
                    default="cc,sim,nss,aucj,aucb,sauc",
-                   help="comma list from cc,sim,nss,aucj,aucb,sauc,emd")
+                   help="comma list from cc,sim,kldiv,nss,aucj,aucb,sauc,ig,emd; "
+                        "ig's baseline is the mean GT map of <=10 random frames "
+                        "of the same video (IG.m's baseMap argument)")
     p.add_argument("--max_videos", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -59,6 +61,8 @@ def run(args) -> int:
         auc_judd,
         auc_shuffled,
         cc_score,
+        info_gain,
+        kldiv_score,
         nss_score,
         similarity_score,
     )
@@ -92,6 +96,21 @@ def run(args) -> int:
             if acc is not None:
                 other_map = (acc > 0).astype(np.float64)
 
+        # IG baseline: mean GT map of <=10 random frames of the same video
+        base_map = None
+        if "ig" in want:
+            stems = [os.path.splitext(f)[0] for f in sorted(os.listdir(gt_maps))]
+            pick = rng.choice(len(stems), size=min(10, len(stems)), replace=False)
+            acc = None
+            for k in pick:
+                p = join(gt_maps, stems[int(k)])
+                p = p + ".png" if os.path.exists(p + ".png") else p + ".jpg"
+                if os.path.exists(p):
+                    bm = load_map(p)
+                    acc = bm if acc is None else acc + bm
+            if acc is not None:
+                base_map = acc / max(len(pick), 1)
+
         vals = {m: [] for m in want}
         for fname in frames:
             stem = os.path.splitext(fname)[0]
@@ -108,7 +127,11 @@ def run(args) -> int:
                 vals["cc"].append(cc_score(pred, gt))
             if "sim" in want:
                 vals["sim"].append(similarity_score(pred, gt))
+            if "kldiv" in want:
+                vals["kldiv"].append(kldiv_score(pred, gt))
             if fix is not None and fix.any():
+                if "ig" in want:
+                    vals["ig"].append(info_gain(pred, fix, base_map))
                 if "nss" in want:
                     vals["nss"].append(nss_score(pred, fix))
                 if "aucj" in want:

@@ -114,15 +114,22 @@ def _emd_hat_py(P, Q, D, extra_mass_penalty, threshold, return_flow):
 
 
 def emd_score(saliency_map, fixation_map, *, downsize: int = 32) -> float:
-    """EMD.m equivalent: downsize both maps, sum-normalize, Euclidean ground
-    distance over the grid, emd_hat with zero extra-mass penalty."""
-    import jax
+    """EMD.m equivalent: downsize both maps (imresize scale-factor form:
+    output size = ceil(size/downsize), antialiased bicubic — EMD.m:33-34),
+    sum-normalize, Euclidean ground distance over the grid, emd_hat with zero
+    extra-mass penalty."""
+    from vinet_tpu.metrics.imresize import imresize
 
     fm = np.asarray(fixation_map, np.float64)
-    h, w = max(1, round(fm.shape[0] / downsize)), max(1, round(fm.shape[1] / downsize))
-    im1 = np.asarray(jax.image.resize(fm, (h, w), "bilinear", antialias=True))
+    im1 = imresize(fm, scale=1.0 / downsize)
+    h, w = im1.shape
     sm = np.asarray(saliency_map, np.float64)
-    im2 = np.asarray(jax.image.resize(sm, (h, w), "bilinear", antialias=True))
+    im2 = imresize(sm, (h, w))
+    # Bicubic ringing can produce small negative masses; EMD.m passes them
+    # into FastEMD unguarded (undefined for negative supply). We clamp to 0
+    # before normalizing — documented deviation, keeps the LP well-posed.
+    im1 = np.maximum(im1, 0.0)
+    im2 = np.maximum(im2, 0.0)
     im1 = im1 / im1.sum()
     im2 = im2 / im2.sum()
 

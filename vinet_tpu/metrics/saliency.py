@@ -30,20 +30,13 @@ def _as2d(x) -> np.ndarray:
 
 
 def _resize_to(sal: np.ndarray, shape) -> np.ndarray:
-    """Bilinear resize pred to GT size (imresize in every MATLAB metric)."""
+    """MATLAB-imresize (antialiased bicubic) pred to GT size — the exact
+    kernel every MATLAB metric applies (see metrics/imresize.py)."""
     if sal.shape == tuple(shape):
         return sal
-    import jax
+    from vinet_tpu.metrics.imresize import imresize
 
-    return np.asarray(
-        jax.image.resize(jnp_array(sal), tuple(shape), method="bilinear", antialias=True)
-    )
-
-
-def jnp_array(x):
-    import jax.numpy as jnp
-
-    return jnp.asarray(x)
+    return imresize(sal, shape)
 
 
 def _minmax(x: np.ndarray) -> np.ndarray:
