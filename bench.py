@@ -1,13 +1,25 @@
-"""Benchmark: ViNet saliency inference throughput on one TPU chip.
+"""Benchmark: saliency inference / training throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline: the reference claims 60 fps real-time inference on GPU
 (/root/reference/README.md:27); target is >=600 fps/chip (BASELINE.md).
 
-Measures the production inference path: BN folded into convs, bf16 weights
-and activations (f32 accumulation), B sliding windows per call — one
-saliency map per 32-frame 224x384 window, matching generate_result.py's
-per-frame output semantics at batch granularity.
+Default mode measures the production ViNet inference path: BN folded into
+convs, bf16 weights/activations (f32 accumulation), B sliding windows per
+call — one saliency map per 32-frame 224x384 window, matching
+generate_result.py's per-frame output semantics at batch granularity.
+
+BENCH_MODE=avinet benchmarks AViNet (visual+audio, bilinear fusion;
+reference workload generate_result_audio_visual.py:219-230);
+BENCH_MODE=train benchmarks the jitted ViNet train step (fwd+bwd+Adam+BN
+update, clips/s; reference loop train.py:192-229).
+
+Timing methodology (NOTES.md "Measurement"): block_until_ready is a no-op on
+this stack; the only reliable fence is a host readback (~30 ms through the
+tunnel). We time N dispatches + one readback, subtract a measured readback
+baseline, and CROSS-CHECK LINEARITY by also timing 2N dispatches — if the
+two disagree, a "linearity_warn" field is emitted and the slower (more
+conservative) estimate is reported.
 """
 
 import json
@@ -18,73 +30,191 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    from vinet_tpu.utils import enable_compilation_cache
+def _fence_fn():
+    import numpy as np
 
-    enable_compilation_cache()
+    def fence(x):
+        return float(np.asarray(x.ravel()[0]))
+
+    return fence
+
+
+def _readback_baseline(fence):
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.device_put(jnp.zeros((8,), jnp.float32))
+    fence(probe)
+    rb = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fence(probe)
+        rb.append(time.perf_counter() - t0)
+    return sorted(rb)[len(rb) // 2]
+
+
+def _timed_rate(fn, args, n_items, iters, fence, readback):
+    """Items/sec over `iters` dispatches with linearity cross-check at 2x."""
+    fence(fn(*args))  # warm / compile
+    rates = []
+    for k in (iters, 2 * iters):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        fence(out)
+        dt = max(time.perf_counter() - t0 - readback, 1e-9)
+        rates.append(n_items * k / dt)
+    # linear => both estimates agree; report the conservative one
+    warn = abs(rates[0] - rates[1]) / max(rates) > 0.15
+    return min(rates), warn
+
+
+def _latency_b1(fn, args, fence, readback):
+    """p50 wall latency (incl. one fence) and amortized per-dispatch device
+    time (30 enqueued calls / one fence — an upper bound on device compute)."""
+    fence(fn(*args))
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        fence(fn(*args))
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50_wall = max(lat[len(lat) // 2] - readback, 0.0) * 1e3
+
+    t0 = time.perf_counter()
+    for _ in range(30):
+        out = fn(*args)
+    fence(out)
+    amortized = max(time.perf_counter() - t0 - readback, 1e-9) / 30 * 1e3
+    return p50_wall, amortized
+
+
+def bench_vinet(batch, iters):
     import jax
     import jax.numpy as jnp
 
     from vinet_tpu.models import ViNet
     from vinet_tpu.models.inference import make_inference_fn
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-
     model = ViNet(num_hier=3, clip_size=32)
     params, state = model.init(jax.random.PRNGKey(0))
-    fn, params_b, state_b = make_inference_fn(model, params, state, dtype=jnp.bfloat16)
-
-    import numpy as np
-
+    fn, _, _ = make_inference_fn(model, params, state, dtype=jnp.bfloat16)
     clips = jax.random.normal(jax.random.PRNGKey(1), (batch, 32, 224, 384, 3), jnp.bfloat16)
 
-    # NOTE: on this TPU stack block_until_ready() returns early; a host
-    # readback of one output element is the only reliable fence. Executions
-    # on one device serialize, so timing N dispatches + one final readback
-    # measures true device throughput (minus one ~30 ms tunnel round trip,
-    # which we subtract via a measured readback baseline).
-    def fence(x):
-        return float(np.asarray(x.ravel()[0]))
-
-    # warmup / compile
-    fence(fn(clips))
-    probe = jax.device_put(jnp.zeros((8,), jnp.float32))
-    rb = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        fence(probe)
-        rb.append(time.perf_counter() - t0)
-    readback = sorted(rb)[len(rb) // 2]
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(clips)
-    fence(out)
-    dt = max(time.perf_counter() - t0 - readback, 1e-9)
-    fps = batch * iters / dt
-
-    # p50 latency at B=1 (includes one readback fence; report both)
+    fence = _fence_fn()
+    readback = _readback_baseline(fence)
+    fps, warn = _timed_rate(fn, (clips,), batch, iters, fence, readback)
     one = clips[:1]
-    fence(fn(one))
-    lat = []
-    for _ in range(30):
-        t0 = time.perf_counter()
-        fence(fn(one))
-        lat.append(time.perf_counter() - t0)
-    lat.sort()
-    p50_ms = max(lat[len(lat) // 2] - readback, 0.0) * 1e3
+    p50_wall, p50_dev = _latency_b1(fn, (one,), fence, readback)
 
-    print(json.dumps({
+    out = {
         "metric": "vinet_saliency_fps_per_chip",
         "value": round(fps, 1),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 2),
         "batch": batch,
-        "p50_latency_ms_b1": round(p50_ms, 2),
+        "p50_latency_ms_b1": round(p50_wall, 2),
+        "p50_device_ms_b1": round(p50_dev, 2),
         "dtype": "bfloat16",
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if warn:
+        out["linearity_warn"] = True
+    return out
+
+
+def bench_avinet(batch, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.models import AViNet
+    from vinet_tpu.models.inference import make_inference_fn
+
+    model = AViNet()
+    params, state = model.init(jax.random.PRNGKey(0))
+    fn, _, _ = make_inference_fn(model, params, state, dtype=jnp.bfloat16)
+    clips = jax.random.normal(jax.random.PRNGKey(1), (batch, 32, 224, 384, 3), jnp.bfloat16)
+    audio = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (batch, 70560, 1), jnp.bfloat16)
+
+    fence = _fence_fn()
+    readback = _readback_baseline(fence)
+    fps, warn = _timed_rate(fn, (clips, audio), batch, iters, fence, readback)
+    out = {
+        "metric": "avinet_saliency_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 2),
+        "batch": batch,
+        "dtype": "bfloat16",
+        "device": str(jax.devices()[0]),
+    }
+    if warn:
+        out["linearity_warn"] = True
+    return out
+
+
+def bench_train(batch, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.models import ViNet
+    from vinet_tpu.training import LossConfig
+    from vinet_tpu.training.trainer import adam, init_train_state, make_train_step
+
+    model = ViNet(num_hier=3, clip_size=32)
+    optimizer = adam(1e-4)
+    ts = init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    step = make_train_step(model, LossConfig(), optimizer, donate=False)
+    kc, kg = jax.random.split(jax.random.PRNGKey(1))
+    batch_d = {
+        "clip": jax.random.normal(kc, (batch, 32, 224, 384, 3), jnp.float32),
+        "gt": jnp.clip(jax.random.uniform(kg, (batch, 224, 384)), 0.05, 1.0),
+    }
+
+    fence = _fence_fn()
+    readback = _readback_baseline(fence)
+
+    def run(ts_, b_):
+        return step(ts_, b_)[1]["loss"]
+
+    fn = lambda: run(ts, batch_d)
+    fence(fn())
+    rates = []
+    for k in (iters, 2 * iters):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn()
+        fence(out)
+        dt = max(time.perf_counter() - t0 - readback, 1e-9)
+        rates.append(batch * k / dt)
+    warn = abs(rates[0] - rates[1]) / max(rates) > 0.15
+    out = {
+        "metric": "vinet_train_clips_per_sec_per_chip",
+        "value": round(min(rates), 2),
+        "unit": "clips/s",
+        # reference envelope: batch 8 on an unspecified GPU (train.py:22) —
+        # no published steps/s; vs_baseline left vs the 60fps claim's 1.875
+        # clips/s-equivalent (60 fps / 32 frames) for continuity
+        "vs_baseline": round(min(rates) / (60.0 / 32.0), 2),
+        "batch": batch,
+        "dtype": "float32",
+        "device": str(jax.devices()[0]),
+    }
+    if warn:
+        out["linearity_warn"] = True
+    return out
+
+
+def main():
+    from vinet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    mode = os.environ.get("BENCH_MODE", "vinet")
+    batch = int(os.environ.get("BENCH_BATCH", "16" if mode != "train" else "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "20" if mode != "train" else "5"))
+    result = {"vinet": bench_vinet, "avinet": bench_avinet, "train": bench_train}[mode](batch, iters)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

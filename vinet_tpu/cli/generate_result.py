@@ -43,6 +43,13 @@ def build_parser():
     p.add_argument("--pad_short", action="store_true",
                    help="pad videos shorter than 2*clip_size-1 by repeating the "
                         "first frame (Hollywood/UCF semantics) instead of skipping")
+    p.add_argument("--streaming", action="store_true",
+                   help="whole-video streaming encoder: computes the backbone "
+                        "once per chunk instead of per window (several x "
+                        "faster; window-edge padding semantics differ from "
+                        "parity mode — see inference/streaming.py)")
+    p.add_argument("--chunk", type=int, default=128,
+                   help="streaming chunk length in frames (multiple of 8)")
     add_model_args(p)
     return p
 
@@ -64,10 +71,19 @@ def run(args) -> int:
     if args.file_weight:
         params, state = load_weights(args.file_weight, model, params, state)
 
-    predictor = SlidingWindowPredictor(
-        model, params, state, clip_size=args.clip_size, batch=args.window_batch,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-    )
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.streaming:
+        from vinet_tpu.inference.streaming import StreamingPredictor
+
+        predictor = StreamingPredictor(
+            model, params, state, clip_size=args.clip_size,
+            batch=args.window_batch, chunk=args.chunk, dtype=dtype,
+        )
+    else:
+        predictor = SlidingWindowPredictor(
+            model, params, state, clip_size=args.clip_size,
+            batch=args.window_batch, dtype=dtype,
+        )
 
     videos = sorted(
         d for d in os.listdir(args.path_indata)

@@ -1,0 +1,245 @@
+"""Streaming whole-video encoder: amortize the S3D backbone across the
+overlapping sliding windows of generate_result-style inference.
+
+Parity mode (inference/engine.py, mirroring /root/reference/generate_result.py:58-73)
+recomputes the full 32-frame backbone for EVERY output frame even though
+consecutive windows share 31/32 frames. Streaming mode computes the backbone
+ONCE over the video timeline using the classic dense/"a-trous" trick:
+
+  * every temporally-strided op (stem conv_t s2, maxp3 s2, maxt4 s2) runs
+    DENSE (stride 1) and its output is split into even/odd phase timelines,
+    folded into the batch axis;
+  * all other ops are unchanged — on a phase timeline, a window's temporal
+    neighbors ARE the timeline's neighbors, so k3/s1 temporal convs and the
+    whole Inception stack apply verbatim.
+
+For a window starting at frame s, each pyramid level is then an exact
+contiguous SLICE of one phase timeline:
+    p1 = s % 2;  s1 = s // 2      y3/y2 <- timeline[p1][s1 : s1+16]
+    p2 = s1 % 2; s2 = s1 // 2     y1    <- timeline[p2*2+p1][s2 : s2+8]
+    p3 = s2 % 2; s3 = s2 // 2     y0    <- timeline[p3*4+p2*2+p1][s3 : s3+4]
+and the decoder runs on gathered windows exactly as in parity mode.
+
+Cost per emitted frame: each input frame passes each backbone layer once
+(vs. 32x/16x/8x/4x for the stem/base2/base3/base4 in parity mode).
+
+SEMANTICS DIFFER FROM PARITY at window edges: parity mode zero-pads temporal
+convs at every window boundary; streaming features see the real neighboring
+frames (and zero-padding only at chunk edges). tests/test_streaming.py pins
+the timeline math exactly (interior of a long parity window == timeline) and
+bounds the end-to-end map delta; CLI exposure is the opt-in --streaming flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vinet_tpu.data.pipeline import device_preprocess
+from vinet_tpu.models.layers import BatchNorm, Composite, Conv3d, MaxPool3d, ReLU, Sequential
+from vinet_tpu.models.s3d import S3DBackbone, mixed
+from vinet_tpu.models.inference import cast_floating, fold_batchnorms
+from vinet_tpu.ops.image import gaussian_blur
+
+
+def _dense_time(mod):
+    """Copy of a module tree with every temporal conv stride forced to 1."""
+    if isinstance(mod, Conv3d):
+        s = mod.stride if isinstance(mod.stride, tuple) else (mod.stride,) * 3
+        if s[0] != 1:
+            return dataclasses.replace(mod, stride=(1, s[1], s[2]))
+        return mod
+    if isinstance(mod, Composite):
+        return Composite(children=tuple((n, _dense_time(m)) for n, m in mod.children))
+    if isinstance(mod, Sequential):
+        return Sequential(*[_dense_time(m) for m in mod.layers])
+    return mod
+
+
+def _split_time(x):
+    """(P*B, T, ...) -> (2*P*B, ceil(T/2), ...): even/odd phase timelines,
+    phase-major (new phase is the slowest batch axis). Odd-phase timelines
+    one short are zero-padded (the pad index is provably never gathered)."""
+    t = x.shape[1]
+    t2 = (t + 1) // 2
+    even = x[:, 0::2]
+    odd = x[:, 1::2]
+    if odd.shape[1] < t2:
+        odd = jnp.pad(odd, ((0, 0), (0, t2 - odd.shape[1])) + ((0, 0),) * (x.ndim - 2))
+    return jnp.concatenate([even, odd], axis=0)
+
+
+def streaming_pyramid(params, state, x, *, train=False):
+    """x: (1, N, H, W, 3), N % 8 == 0 -> phase timelines
+    (Y0 (8,N/8,h0,w0,1024), Y1 (4,N/4,...), Y2 (2,N/2,...), Y3 (2,N/2,...)).
+
+    Applies S3DBackbone's stages (same params) with dense temporal strides
+    and phase splits as described in the module docstring."""
+    assert x.shape[0] == 1 and x.shape[1] % 8 == 0, x.shape
+    bb = S3DBackbone()
+    base1, base2, base3, base4 = (_dense_time(m) for m in bb._stages())
+
+    # base1 stem (sep_conv3d 3->64): conv_s per-frame, conv_t dense -> split
+    stem, pool, b1x1, sep192 = base1.layers
+    y, _ = stem.apply(params["base1"]["0"], state.get("base1", {}).get("0", {}), x, train=train)
+    y = _split_time(y)  # (2, N/2, 112, 192, 64)
+    y, _ = pool.apply({}, {}, y)
+    y, _ = b1x1.apply(params["base1"]["2"], state.get("base1", {}).get("2", {}), y, train=train)
+    y3, _ = sep192.apply(params["base1"]["3"], state.get("base1", {}).get("3", {}), y, train=train)
+
+    y = MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)).apply({}, {}, y3)[0]
+    y2, _ = base2.apply(params["base2"], state.get("base2", {}), y, train=train)
+
+    # maxp3 (3,3,3)s(2,2,2): dense in time (stride (1,2,2)) then split
+    y = MaxPool3d((3, 3, 3), (1, 2, 2), (1, 1, 1)).apply({}, {}, y2)[0]
+    y = _split_time(y)  # (4, N/4, 14, 24, 480)
+    y1, _ = base3.apply(params["base3"], state.get("base3", {}), y, train=train)
+
+    # maxt4 (2,1,1)s2: dense (length-1) then split; maxp4 spatial
+    y = MaxPool3d((2, 1, 1), (1, 1, 1), 0).apply({}, {}, y1)[0]
+    y = _split_time(y)  # (8, N/8, 14, 24, 832)
+    y = MaxPool3d((1, 2, 2), (1, 2, 2), 0).apply({}, {}, y)[0]
+    y0, _ = base4.apply(params["base4"], state.get("base4", {}), y, train=train)
+
+    return y0, y1, y2, y3
+
+
+def gather_windows(timelines, starts, clip_size: int = 32):
+    """Per-window pyramid slices from phase timelines. starts: (Bw,) int32
+    window start frames. Returns [y0, y1, y2, y3] batched over windows."""
+    y0t, y1t, y2t, y3t = timelines
+    s = starts.astype(jnp.int32)
+    p1, s1 = s % 2, s // 2
+    p2, s2 = s1 % 2, s1 // 2
+    p3, s3 = s2 % 2, s2 // 2
+
+    t16 = jnp.arange(clip_size // 2, dtype=jnp.int32)
+    t8 = jnp.arange(clip_size // 4, dtype=jnp.int32)
+    t4 = jnp.arange(clip_size // 8, dtype=jnp.int32)
+
+    y3 = y3t[p1[:, None], s1[:, None] + t16[None, :]]
+    y2 = y2t[p1[:, None], s1[:, None] + t16[None, :]]
+    y1 = y1t[(p2 * 2 + p1)[:, None], s2[:, None] + t8[None, :]]
+    y0 = y0t[(p3 * 4 + p2 * 2 + p1)[:, None], s3[:, None] + t4[None, :]]
+    return [y0, y1, y2, y3]
+
+
+class StreamingPredictor:
+    """Drop-in alternative to SlidingWindowPredictor for ViNet (visual-only):
+    same emission order/indices, --streaming semantics. Warm-up frames
+    (i < T-1, time-flipped clips in the reference) reuse the SAME machinery
+    on the time-reversed chunk: the flipped window for start s is the
+    reversed chunk's window starting at chunk_len - clip_size - s."""
+
+    def __init__(self, model, params, state, *, clip_size: int = 32, batch: int = 16,
+                 chunk: int = 128, dtype=jnp.bfloat16, blur_ksize: int = 11,
+                 fold: bool = True):
+        if fold:
+            params, state = fold_batchnorms(params, state)
+        self.params = cast_floating(params, dtype)
+        self.state = cast_floating(state, dtype)
+        self.model = model
+        self.clip_size = clip_size
+        self.batch = batch
+        self.chunk = chunk
+        self.dtype = dtype
+        self.blur_ksize = blur_ksize
+        assert chunk % 8 == 0 and chunk >= 2 * clip_size
+        self._jitted = {}
+
+    def _timeline_fn(self):
+        if "timeline" not in self._jitted:
+            def run(frames_u8, flip):
+                x = device_preprocess(frames_u8[None]).astype(self.dtype)
+                x = jnp.where(flip, x[:, ::-1], x)
+                return streaming_pyramid(self.params["backbone"],
+                                         self.state.get("backbone", {}), x)
+            self._jitted["timeline"] = jax.jit(run)
+        return self._jitted["timeline"]
+
+    def _decode_fn(self):
+        if "decode" not in self._jitted:
+            def run(timelines, starts):
+                pyr = gather_windows(timelines, starts, self.clip_size)
+                out, _ = self.model.decoder.apply(self.params["decoder"], {}, pyr)
+                return out.astype(jnp.float32)
+            self._jitted["decode"] = jax.jit(run)
+        return self._jitted["decode"]
+
+    def _post_fn(self, out_hw: tuple):
+        if out_hw not in self._jitted:
+            def post(maps):
+                if out_hw != maps.shape[1:]:
+                    maps = jax.image.resize(
+                        maps, (maps.shape[0], *out_hw), method="bilinear", antialias=False
+                    )
+                return gaussian_blur(maps, ksize=self.blur_ksize)
+            self._jitted[out_hw] = jax.jit(post)
+        return self._jitted[out_hw]
+
+    def predict_video(self, frames_u8: np.ndarray, *, out_size=None, pad_short=False):
+        """frames_u8: (N, H, W, 3) uint8 model-sized frames. Yields
+        (frame_index, map) for every predictable frame, in the reference's
+        emission order (warm-up flipped maps interleaved)."""
+        n = frames_u8.shape[0]
+        t = self.clip_size
+        if n < 2 * t - 1:
+            if not pad_short:
+                return
+            pad = np.repeat(frames_u8[:1], 2 * t - 1 - n, axis=0)
+            frames_u8 = np.concatenate([pad, frames_u8], axis=0)
+        offset = frames_u8.shape[0] - n if n < 2 * t - 1 else 0
+        nn = frames_u8.shape[0]
+        out_hw = tuple(out_size) if out_size is not None else frames_u8.shape[1:3]
+        timeline = self._timeline_fn()
+        decode = self._decode_fn()
+        post = self._post_fn(out_hw)
+
+        # chunk length: fixed self.chunk, shrunk (to a multiple of 8, >= 2t)
+        # for short videos so tiny inputs don't compile the full-chunk graph
+        chunk = max(2 * t, min(self.chunk, ((nn + 7) // 8) * 8))
+        if nn < chunk:  # pad tail by repeating the last frame; never emitted
+            frames_u8 = np.concatenate(
+                [frames_u8, np.repeat(frames_u8[-1:], chunk - nn, axis=0)], axis=0)
+
+        plans = []  # (chunk_start, flipped, [(emit_frame, start_within_chunk)])
+
+        # warm-up frames (reference emits them from time-FLIPPED clips,
+        # generate_result.py:69-71): the flipped window for start s equals the
+        # REVERSED first chunk's window starting at chunk - t - s
+        warm = [(s - offset, chunk - t - s) for s in range(t - 1) if s - offset >= 0]
+        if warm:
+            plans.append((0, True, warm))
+        # normal windows: frame i from [i-t+1, i], chunked with t-1 overlap
+        starts = [(i - offset, i - t + 1) for i in range(t - 1, nn) if i - offset >= 0]
+        c0 = 0
+        while starts:
+            hi = c0 + chunk - t  # window starts coverable by this chunk
+            wins = [(f, s - c0) for f, s in starts if c0 <= s <= hi]
+            if wins:
+                plans.append((c0, False, wins))
+            if hi >= nn - t:
+                break
+            c0 = min(hi + 1, max(frames_u8.shape[0] - chunk, 0))
+
+        done = set()
+        frames_dev = jax.device_put(frames_u8)
+        for chunk_start, flipped, wins in plans:
+            wins = [(f, s) for f, s in wins if f not in done]
+            if not wins:
+                continue
+            tl = timeline(frames_dev[chunk_start : chunk_start + chunk],
+                          jnp.asarray(flipped))
+            for lo in range(0, len(wins), self.batch):
+                group = wins[lo : lo + self.batch]
+                pad_n = self.batch - len(group)
+                sarr = np.asarray([s for _, s in group] + [0] * pad_n, np.int32)
+                maps = decode(tl, jnp.asarray(sarr))
+                maps = np.asarray(post(maps))
+                for j, (f, _) in enumerate(group):
+                    done.add(f)
+                    yield f, maps[j]

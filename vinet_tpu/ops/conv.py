@@ -49,11 +49,15 @@ def conv3d(
     pad = _triple(padding)
     kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
 
-    # Experiment (A/B-tested on v5e): lowering factorized 3-D convs to 2-D is
-    # 2-3x faster per-op in isolation but ~2x SLOWER for the fused full model
-    # (the reshapes break XLA's cross-op fusion), so it's off by default.
-    lower = os.environ.get("VINET_CONV3D_LOWER", "0") == "1"
-    if lower and kt == 1 and stride[0] == 1 and pad[0] == 0:
+    # Purely-spatial (kt==1) convs: fold T into batch and run XLA's 2-D conv
+    # path, which is FAR faster than its true-3-D codegen for large spatial
+    # planes / big channel counts (measured on v5e, scripts/exp_conv_variants:
+    # stem 7x7 29.3->10.3 ms, sep_s 64->192 8.2->5.4 ms, decoder conv1
+    # 6.1->0.4 ms; bit-exact). Small planes with mid-size channels are a tie
+    # or slight loss (mixed @28x48: 2.40 vs 2.55 ms), hence the shape gate.
+    # Round 1's GLOBAL lowering (incl. temporal convs) was slower end-to-end:
+    # temporal (k,1,1) convs stay 3-D (2-D fold measured 7x worse @28x48).
+    if _lower_spatial_to_2d(x.shape, w.shape) and kt == 1 and stride[0] == 1 and pad[0] == 0:
         b, t, h, ww, c = x.shape
         out = lax.conv_general_dilated(
             x.reshape(b * t, h, ww, c),
@@ -64,17 +68,13 @@ def conv3d(
             preferred_element_type=jnp.float32,
         )
         out = out.reshape(b, t, *out.shape[1:])
-    elif lower and kh == 1 and kw == 1 and (stride[1], stride[2]) == (1, 1) and pad[1] == pad[2] == 0:
-        b, t, h, ww, c = x.shape
-        out = lax.conv_general_dilated(
-            x.reshape(b, t, h * ww, c),
-            w[:, 0].astype(x.dtype),
-            window_strides=(stride[0], 1),
-            padding=[(pad[0], pad[0]), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
-        out = out.reshape(b, out.shape[1], h, ww, out.shape[-1])
+    elif kh == 1 and kw == 1 and kt > 1 and stride[1:] == (1, 1) and pad[1] == pad[2] == 0:
+        # temporal (k,1,1) conv: Pallas matmul kernel on TPU (XLA's conv
+        # codegen runs these at ~15 TF/s; see ops/pallas_tconv.py), exact
+        # XLA fallback elsewhere / for odd pixel counts.
+        from vinet_tpu.ops.pallas_tconv import temporal_conv3d
+
+        out = temporal_conv3d(x, w, stride=stride[0], pad=pad[0])
     else:
         out = lax.conv_general_dilated(
             x,
@@ -87,6 +87,26 @@ def conv3d(
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)
+
+
+def _lower_spatial_to_2d(x_shape, w_shape) -> bool:
+    """Policy gate for the kt==1 2-D lowering. VINET_LOWER2D:
+    off | all | auto (area>=5376 or cin>=512) | a number (min pixel area,
+    no cin clause — e.g. 86016 lowers only the 224x384 stem conv).
+
+    DEFAULT OFF: despite 1.5-15x isolated per-op wins (exp_conv_variants),
+    every policy measured SLOWER end-to-end (auto: 166 vs 192 fps) — the
+    reshapes break XLA's cross-op fusion. Kept as an opt-in experiment."""
+    mode = os.environ.get("VINET_LOWER2D", "off")
+    if mode == "off":
+        return False
+    if mode == "all":
+        return True
+    h, w_ = x_shape[2], x_shape[3]
+    cin = w_shape[3]
+    if mode == "auto":
+        return h * w_ >= 56 * 96 or cin >= 512
+    return h * w_ >= int(mode)
 
 
 def conv1d(
