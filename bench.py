@@ -96,10 +96,15 @@ def bench_vinet(batch, iters):
     from vinet_tpu.models import ViNet
     from vinet_tpu.models.inference import make_inference_fn
 
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = ViNet(num_hier=3, clip_size=32)
     params, state = model.init(jax.random.PRNGKey(0))
-    fn, _, _ = make_inference_fn(model, params, state, dtype=jnp.bfloat16)
     clips = jax.random.normal(jax.random.PRNGKey(1), (batch, 32, 224, 384, 3), jnp.bfloat16)
+    if dtype_name == "int8":
+        fn, _, _ = make_inference_fn(model, params, state, dtype="int8",
+                                     calib_clips=clips[:2].astype(jnp.float32))
+    else:
+        fn, _, _ = make_inference_fn(model, params, state, dtype=jnp.bfloat16)
 
     fence = _fence_fn()
     readback = _readback_baseline(fence)
@@ -115,7 +120,7 @@ def bench_vinet(batch, iters):
         "batch": batch,
         "p50_latency_ms_b1": round(p50_wall, 2),
         "p50_device_ms_b1": round(p50_dev, 2),
-        "dtype": "bfloat16",
+        "dtype": dtype_name,
         "device": str(jax.devices()[0]),
     }
     if warn:

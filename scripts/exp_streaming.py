@@ -1,0 +1,70 @@
+"""TPU wall-clock A/B: streaming vs parity sliding-window inference on a
+long synthetic video (VERDICT item 2's >=3x bar), plus the map delta
+between the two modes.
+
+Usage: python scripts/exp_streaming.py [--frames 320] [--chunk 128]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=320)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+
+    from vinet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.inference import SlidingWindowPredictor
+    from vinet_tpu.inference.streaming import StreamingPredictor
+    from vinet_tpu.models import ViNet
+
+    model = ViNet(num_hier=3, clip_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (args.frames, 224, 384, 3), np.uint8)
+
+    sp = StreamingPredictor(model, params, state, clip_size=32,
+                            batch=args.batch, chunk=args.chunk)
+    pp = SlidingWindowPredictor(model, params, state, clip_size=32,
+                                batch=args.batch)
+
+    results = {}
+    for name, pred in (("streaming", sp), ("parity", pp)):
+        # warm-up pass (compiles)
+        maps = dict(pred.predict_video(frames[: max(2 * 32, args.chunk)]))
+        t0 = time.perf_counter()
+        maps = dict(pred.predict_video(frames))
+        dt = time.perf_counter() - t0
+        results[name] = (dt, maps)
+        print(f"{name:10s}: {dt:6.2f} s for {len(maps)} maps "
+              f"-> {len(maps)/dt:7.1f} maps/s", flush=True)
+
+    dts, ms = results["streaming"]
+    dtp, mp = results["parity"]
+    print(f"speedup: {dtp/dts:.2f}x", flush=True)
+    deltas = [float(np.abs(ms[i] - mp[i]).max()) for i in sorted(mp)]
+    ccs = []
+    for i in sorted(mp):
+        a, b = ms[i].ravel(), mp[i].ravel()
+        if a.std() > 0 and b.std() > 0:
+            ccs.append(float(np.corrcoef(a, b)[0, 1]))
+    print(f"map delta: max_abs p50={np.median(deltas):.4f} max={max(deltas):.4f}; "
+          f"CC p50={np.median(ccs):.4f} min={min(ccs):.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

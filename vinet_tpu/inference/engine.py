@@ -143,6 +143,24 @@ class SlidingWindowPredictor:
         post = self._post_fn(out_hw)
         frames_dev = jax.device_put(frames_u8)
 
+        # device->host transfers are the wall-clock bottleneck through the
+        # tunnel (~30 ms RTT each): keep maps on device and fetch several
+        # batches per round trip
+        pending = []  # (tasks, device_maps)
+
+        def flush():
+            if not pending:
+                return
+            fetched = np.asarray(jnp.concatenate([m for _, m in pending], axis=0))
+            k = 0
+            for tasks, m in pending:
+                for j, task in enumerate(tasks):
+                    out_frame = task.out_frame - offset
+                    if out_frame >= 0:
+                        yield out_frame, fetched[k + j]
+                k += m.shape[0]
+            pending.clear()
+
         for lo in range(0, len(plan), self.batch):
             chunk = plan[lo : lo + self.batch]
             pad_n = self.batch - len(chunk)
@@ -161,8 +179,7 @@ class SlidingWindowPredictor:
             clips = gather(frames_dev, jnp.asarray(idx), flip_d)
             maps = fn(clips, flip_d,
                       *((jnp.asarray(audio),) if audio is not None else ()))
-            maps = np.asarray(post(maps))
-            for j, task in enumerate(chunk):
-                out_frame = task.out_frame - offset
-                if out_frame >= 0:
-                    yield out_frame, maps[j]
+            pending.append((chunk, post(maps)))
+            if len(pending) >= 4:
+                yield from flush()
+        yield from flush()

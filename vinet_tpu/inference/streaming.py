@@ -228,6 +228,20 @@ class StreamingPredictor:
 
         done = set()
         frames_dev = jax.device_put(frames_u8)
+        pending = []  # (frames, device_maps); bulk-fetch to amortize the
+        # device->host round trip (see engine.py)
+
+        def flush():
+            if not pending:
+                return
+            fetched = np.asarray(jnp.concatenate([m for _, m in pending], axis=0))
+            k = 0
+            for group, m in pending:
+                for j, f in enumerate(group):
+                    yield f, fetched[k + j]
+                k += m.shape[0]
+            pending.clear()
+
         for chunk_start, flipped, wins in plans:
             wins = [(f, s) for f, s in wins if f not in done]
             if not wins:
@@ -239,7 +253,8 @@ class StreamingPredictor:
                 pad_n = self.batch - len(group)
                 sarr = np.asarray([s for _, s in group] + [0] * pad_n, np.int32)
                 maps = decode(tl, jnp.asarray(sarr))
-                maps = np.asarray(post(maps))
-                for j, (f, _) in enumerate(group):
-                    done.add(f)
-                    yield f, maps[j]
+                done.update(f for f, _ in group)
+                pending.append(([f for f, _ in group], post(maps)[: len(group)]))
+                if len(pending) >= 4:
+                    yield from flush()
+        yield from flush()

@@ -105,10 +105,29 @@ def cast_floating(tree, dtype):
     )
 
 
+def quantize_int8(model, params, state, *, calib_clips, calib_audio=None,
+                  skip_prefixes=(("decoder", "conv5"), ("decoder", "conv6"),
+                                 ("decoder", "conv7"), ("audionet",))):
+    """Calibrate + quantize a FOLDED params tree to int8 (ops/quant.py).
+
+    calib_clips: (B,T,H,W,3) representative normalized clips (a handful of
+    batches is plenty — scales are per-tensor absmax). Decoder tail and
+    SoundNet stay bf16 (negligible FLOPs; the Pallas head reads conv6/7)."""
+    from vinet_tpu.ops import quant
+
+    with quant.calibration() as records:
+        # eager forward so absmax values are concrete
+        if calib_audio is None:
+            model.apply(params, state, calib_clips)
+        else:
+            model.apply(params, state, calib_clips, calib_audio)
+    return quant.quantize_tree(params, records, skip_prefixes=skip_prefixes)
+
+
 def make_inference_fn(model, params, state, *, dtype=jnp.bfloat16, fold: bool = True,
-                      s2d_stem: bool = False):
+                      s2d_stem: bool = False, calib_clips=None):
     """Build a jitted clips->maps function with folded BN, the space-to-depth
-    stem, and cast params.
+    stem, and cast params. dtype="int8" quantizes (requires calib_clips).
 
     Returns (fn, prepared_params, prepared_state); fn(clips[, audio]) emits
     f32 saliency maps.
@@ -117,6 +136,14 @@ def make_inference_fn(model, params, state, *, dtype=jnp.bfloat16, fold: bool = 
         params, state = fold_batchnorms(params, state)
     if s2d_stem:
         params = space_to_depth_stem(params)
+    int8 = dtype == "int8" or dtype == jnp.int8
+    if int8:
+        assert calib_clips is not None, "int8 needs calib_clips"
+        dtype = jnp.bfloat16  # non-quantized leaves / activations stay bf16
+        params = cast_floating(params, jnp.float32)
+        state = cast_floating(state, jnp.float32)
+        params = quantize_int8(model, params, state,
+                               calib_clips=calib_clips.astype(jnp.float32))
     params = cast_floating(params, dtype)
     state = cast_floating(state, dtype)
 

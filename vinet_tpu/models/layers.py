@@ -66,6 +66,16 @@ class Conv3d:
             from vinet_tpu.ops.s2d import conv3d_s2d_stem
 
             return conv3d_s2d_stem(x, params["w_s2d"], params.get("b")), state
+        if "w_q" in params:
+            # int8 path (vinet_tpu/ops/quant.py): calibrated activation scale,
+            # int8 weights, int32 accumulation
+            from vinet_tpu.ops.quant import int8_conv3d
+
+            return int8_conv3d(x, params, stride=self.stride, padding=self.padding), state
+        from vinet_tpu.ops import quant
+
+        if quant.calibrating():
+            quant.record(params["w"], x)
         y = _conv3d(x, params["w"], stride=self.stride, padding=self.padding,
                     bias=params.get("b"))
         return y, state
