@@ -30,6 +30,10 @@ def _use_pallas_head() -> bool:
     return os.environ.get("VINET_PALLAS_HEAD", "1") != "0"
 
 
+def _use_phasefold() -> bool:
+    return os.environ.get("VINET_PHASEFOLD", "1") != "0"
+
+
 @dataclasses.dataclass(frozen=True)
 class DecoderPlan:
     """Temporal kernel plan. (kt_i, st_i) are the time kernel/stride of stage i;
@@ -117,6 +121,23 @@ class Decoder:
         z = stage("conv1", y0, y1 if 1 in p.skips else None)
         z = stage("conv2", z, y2 if 2 in p.skips else None)
         z = stage("conv3", z, y3 if 3 in p.skips else None)
+
+        if not train and _use_phasefold():
+            # Phase-folded tail (ops/phasefold.py): conv5 absorbs conv4's 2x
+            # upsample (one coarse-grid conv with 4x channels), and the
+            # conv6/conv7/sigmoid head runs in phase layout at the coarse
+            # grid — no upsampled intermediate ever materializes. Exact
+            # (tests/test_phasefold.py); inference-only to keep the training
+            # graph unchanged.
+            z = convs["conv4"].apply(params["conv4"], {}, z)[0]
+            z = jax.nn.relu(z)
+            from vinet_tpu.ops.phasefold import conv_after_up2x
+
+            z = conv_after_up2x(z, params["conv5"]["w"],
+                                params["conv5"].get("b"), stride_t=p.st5)
+            z = jax.nn.relu(z)
+            return self._phase_tail(params, z), state
+
         z = stage("conv4", z)
         z = convs["conv5"].apply(params["conv5"], {}, z)[0]
         z = jax.nn.relu(z)
@@ -138,3 +159,63 @@ class Decoder:
         z = jax.nn.sigmoid(z)
         # (B, 1, H, W, 1) -> (B, H, W)
         return z[:, 0, :, :, 0], state
+
+    def _phase_tail(self, params, z5):
+        """conv6 (optional) + relu + conv7 + sigmoid, evaluated in the phase
+        layout of the final 2x upsample — which is never materialized.
+
+        The upsample is spatially linear and conv6/conv7 are spatially 1x1,
+        so conv6(up(z5)) composes into ONE conv over the edge-padded coarse
+        grid: weights S[ph,mh]*S[pw,mw]*w6 (phasefold.up_stencil), output
+        channels (ph, pw, cout). Edge clamping is exactly the edge padding;
+        there is no zero-padding anywhere in the tail, so no corrections are
+        needed. relu/sigmoid are elementwise and commute with the phase
+        permutation; the final depth-to-space is a reshape. Replaces the
+        fine-grid path (1/4 the pixels, 4x the MXU lane utilization — the
+        32-channel fine-grid convs wasted 3/4 of the lanes).
+
+        z5: (B, T, H, W, 32) = relu(conv5) at the coarse grid.
+        Returns (B, 2H, 2W) in [0, 1].
+        """
+        from vinet_tpu.ops.phasefold import up_stencil
+
+        p = self.plan
+        b_, t, h, w_, c = z5.shape
+        s = jnp.asarray(up_stencil())  # (2, 3)
+        w7 = params["conv7"]["w"][0, 0, 0, :, 0].astype(jnp.float32)  # (C7,)
+        b7 = params["conv7"]["b"].astype(jnp.float32)
+        zp = jnp.pad(z5, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+        if p.conv6 is not None:
+            kt, st, _ = p.conv6
+            cout = params["conv6"]["w"].shape[-1]
+            w6 = params["conv6"]["w"][:, 0, 0].astype(jnp.float32)  # (kt, C, Cout)
+            # W_eff[t, mh, mw, c, (ph, pw, d)] = S[ph,mh] S[pw,mw] w6[t,c,d]
+            weff = jnp.einsum("hm,wn,tcd->tmnchwd", s, s, w6)
+            weff = weff.reshape(kt, 3, 3, c, 4 * cout).astype(z5.dtype)
+            hd = jax.lax.conv_general_dilated(
+                zp, weff, window_strides=(st, 1, 1),
+                padding=[(0, 0), (0, 0), (0, 0)],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32)
+            if "b" in params["conv6"]:
+                hd = hd + jnp.tile(params["conv6"]["b"], 4).astype(hd.dtype)
+            hd = jax.nn.relu(hd)  # (B, T', H, W, 4*cout), phase-major
+            # conv7 per phase: (4*cout) -> 4
+            w7bd = jnp.einsum("pq,d->pdq", jnp.eye(4, dtype=jnp.float32), w7)
+            out = jnp.dot(hd, w7bd.reshape(4 * cout, 4),
+                          preferred_element_type=jnp.float32) + b7
+        else:
+            # conv7 directly on the (virtual) upsample: compose with S
+            weff = jnp.einsum("hm,wn,c->mnchw", s, s, w7)
+            weff = weff.reshape(1, 3, 3, c, 4).astype(z5.dtype)
+            out = jax.lax.conv_general_dilated(
+                zp, weff, window_strides=(1, 1, 1),
+                padding=[(0, 0), (0, 0), (0, 0)],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32) + b7
+
+        out = jax.nn.sigmoid(out[:, 0])  # (B, H, W, 4) phases (ph, pw)
+        out = out.reshape(b_, h, w_, 2, 2)
+        out = jnp.moveaxis(out, 3, 2).reshape(b_, 2 * h, 2 * w_)
+        return out.astype(z5.dtype)
