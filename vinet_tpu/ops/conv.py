@@ -179,10 +179,20 @@ def maxpool3d(
 ) -> jax.Array:
     """Max pooling over (T, H, W) of an NDHWC tensor. Torch semantics:
     symmetric padding that never participates in the max (pads with -inf),
-    floor output size (ceil_mode=False)."""
+    floor output size (ceil_mode=False).
+
+    TPU dispatch: the S3D pool geometries go to a Pallas kernel
+    (ops/pallas_pool.py) — XLA's reduce_window runs the stem pool at ~1/9th
+    of HBM bandwidth, and every shifted-max restatement in XLA loses to
+    strided-slice relayouts (all measured; see NOTES.md round 2). Fallback
+    is the exact reduce_window."""
     k = _triple(kernel)
     s = _triple(stride)
     p = _triple(padding)
+    from vinet_tpu.ops import pallas_pool
+
+    if pallas_pool.supported(x.shape, k, s, p, x.dtype):
+        return pallas_pool.maxpool(x, kernel=k, stride=s, padding=p)
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,

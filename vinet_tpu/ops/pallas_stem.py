@@ -60,18 +60,12 @@ def prep_input(x: jax.Array) -> jax.Array:
 def prep_weights(w_s: jax.Array, w_t: jax.Array, dtype) -> tuple:
     """w_s: (1,7,7,3,64) spatial, w_t: (7,1,1,64,64) temporal ->
     (ws_mat (168, 64), wt_mat (448, 64)) matching the kernel's slice order."""
-    ws = np.zeros((7, 4, 2, 3, w_s.shape[-1]), np.float32)
-    w_s_np = np.asarray(w_s.astype(jnp.float32))[0]  # (7, 7, 3, 64)
-    for dy in range(7):
-        for j in range(4):
-            for r in range(2):
-                dx = 2 * j + r
-                if dx <= 6:
-                    ws[dy, j, r] = w_s_np[dy, dx]
-    ws_mat = jnp.asarray(ws.reshape(7 * 4 * 2 * 3, -1), dtype=dtype)
-    wt_mat = jnp.asarray(np.asarray(w_t.astype(jnp.float32)).reshape(
-        w_t.shape[0] * w_t.shape[3], w_t.shape[4]), dtype=dtype)
-    return ws_mat, wt_mat
+    cout = w_s.shape[-1]
+    ws = jnp.pad(w_s[0], ((0, 0), (0, 1), (0, 0), (0, 0)))  # dx: 7 -> 8
+    # dx = 2j + r  ->  (j, r) split, j-major (matches the kernel's slices)
+    ws_mat = ws.reshape(7, 4, 2, 3, cout).reshape(7 * 4 * 2 * 3, cout)
+    wt_mat = w_t.reshape(w_t.shape[0] * w_t.shape[3], w_t.shape[4])
+    return ws_mat.astype(dtype), wt_mat.astype(dtype)
 
 
 def _kernel(x_any, ws_ref, wt_ref, bs_ref, bt_ref, out_ref, xs, z, sem,
@@ -85,15 +79,25 @@ def _kernel(x_any, ws_ref, wt_ref, bs_ref, bt_ref, out_ref, xs, z, sem,
     kt = 7
     pad_t = 3
 
-    dma = pltpu.make_async_copy(
-        x_any.at[b, :, :, pl.ds(hb * H_TILE, H_TILE + 3)], xs, sem)
-    dma.start()
+    # Four DMAs fetch the tile at W offsets 0..3 (the stride-2 7-tap conv's
+    # four W-slice shifts). Shifting via DMA instead of in-kernel lane
+    # slicing keeps every vector the kernel touches at sublane offset 0 —
+    # Mosaic cannot concatenate vectors whose slice offsets disagree.
+    for j in range(4):
+        pltpu.make_async_copy(
+            x_any.at[b, :, :, pl.ds(hb * H_TILE, H_TILE + 3),
+                     pl.ds(j, w_out)],
+            xs.at[j], sem.at[j]).start()
 
     # temporal zero padding lives in the z scratch's end frames
     z[0:pad_t] = jnp.zeros((pad_t, m, z.shape[2]), z.dtype)
     z[t_in + pad_t:] = jnp.zeros((z.shape[0] - t_in - pad_t, m, z.shape[2]), z.dtype)
 
-    dma.wait()
+    for j in range(4):
+        pltpu.make_async_copy(
+            x_any.at[b, :, :, pl.ds(hb * H_TILE, H_TILE + 3),
+                     pl.ds(j, w_out)],
+            xs.at[j], sem.at[j]).wait()
 
     bs = bs_ref[0].astype(jnp.float32)
     bt = bt_ref[0].astype(jnp.float32)
@@ -103,7 +107,7 @@ def _kernel(x_any, ws_ref, wt_ref, bs_ref, bt_ref, out_ref, xs, z, sem,
         for dy in range(7):
             q, mrow = dy % 2, dy // 2
             for j in range(4):
-                pieces.append(xs[t, q, mrow:mrow + H_TILE, j:j + w_out, :])
+                pieces.append(xs[j, t, q, mrow:mrow + H_TILE])
         lhs = jnp.concatenate(pieces, axis=-1).reshape(m, 168)
         acc = jnp.dot(lhs, ws_ref[:], preferred_element_type=jnp.float32)
         z[t + pad_t] = jnp.maximum(acc + bs, 0.0).astype(z.dtype)
@@ -143,9 +147,9 @@ def _stem_call(xq, ws_mat, wt_mat, b_s, b_t, *, stride_t, interpret=False):
             (1, t_out, H_TILE, w_out, cout),
             lambda i, j: (i, 0, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((t_in, 2, H_TILE + 3, wp, 6), xq.dtype),
+            pltpu.VMEM((4, t_in, 2, H_TILE + 3, w_out, 6), xq.dtype),
             pltpu.VMEM((t_in + 6, m, cout), xq.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(xq, ws_mat, wt_mat, b_s.reshape(1, -1), b_t.reshape(1, -1))
@@ -173,7 +177,13 @@ def supported(x_shape, kernel, stride, padding, in_ch, out_ch) -> bool:
     size with H//2 divisible by the tile."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    if os.environ.get("VINET_PALLAS_STEM", "1") == "0":
+    # DEFAULT OFF — does not currently compile on real TPUs: the 6-channel
+    # minor dim of the phase-split layout is padded to a 128 tile in
+    # HBM/VMEM, and Mosaic rejects both DMA slices and vector concats on it
+    # ("slice shape must be aligned to tiling"). Kept (interpret-mode
+    # exact) as the starting point for a layout redesign; see NOTES.md
+    # round 2 for the full wall-by-wall account.
+    if os.environ.get("VINET_PALLAS_STEM", "0") == "0":
         return False
     b, t, h, w, c = x_shape
     return (c == 3 and in_ch == 3
