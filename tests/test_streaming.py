@@ -122,3 +122,33 @@ def test_predictor_short_video_skipped():
     # pad_short emits every frame
     got = dict(sp.predict_video(frames, pad_short=True))
     assert sorted(got) == list(range(2 * T - 2))
+
+
+def test_decode_v2_matches_v1():
+    """Dense-decoder-front decode (decode_windows_v2) is an exact
+    rearrangement of gather_windows + Decoder.apply for plan (3,32)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.inference.streaming import (
+        decode_windows_v2, dense_decoder_front, gather_windows)
+    from vinet_tpu.models import ViNet
+
+    model = ViNet(num_hier=3, clip_size=32)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    dp = params["decoder"]
+    chunk = 64
+    tl = (
+        jax.random.normal(jax.random.PRNGKey(2), (8, chunk // 8, 7, 12, 1024), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(3), (4, chunk // 4, 14, 24, 832), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(4), (2, chunk // 2, 28, 48, 480), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(5), (2, chunk // 2, 56, 96, 192), jnp.float32),
+    )
+    starts = jnp.asarray([0, 1, 5, 17, 31, 32], jnp.int32)
+    pyr = gather_windows(tl, starts, 32)
+    ref, _ = model.decoder.apply(dp, {}, pyr)
+    dense = dense_decoder_front(dp, tl)
+    got = decode_windows_v2(model.decoder, dp, tl, dense, starts)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -33,6 +33,7 @@ bounds the end-to-end map delta; CLI exposure is the opt-in --streaming flag.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -63,8 +64,17 @@ def _dense_time(mod):
 def _split_time(x):
     """(P*B, T, ...) -> (2*P*B, ceil(T/2), ...): even/odd phase timelines,
     phase-major (new phase is the slowest batch axis). Odd-phase timelines
-    one short are zero-padded (the pad index is provably never gathered)."""
+    one short are zero-padded (the pad index is provably never gathered).
+
+    Even T goes through reshape+transpose — 2.5 ms vs 9.2 ms for the
+    strided-slice formulation on the stem timeline (XLA strided slices
+    along the T axis run far below HBM bandwidth on TPU)."""
     t = x.shape[1]
+    if t % 2 == 0:
+        b = x.shape[0]
+        x2 = x.reshape(b, t // 2, 2, *x.shape[2:])
+        x2 = jnp.moveaxis(x2, 2, 0)
+        return x2.reshape(2 * b, t // 2, *x.shape[2:])
     t2 = (t + 1) // 2
     even = x[:, 0::2]
     odd = x[:, 1::2]
@@ -80,12 +90,17 @@ def streaming_pyramid(params, state, x, *, train=False):
     Applies S3DBackbone's stages (same params) with dense temporal strides
     and phase splits as described in the module docstring."""
     assert x.shape[0] == 1 and x.shape[1] % 8 == 0, x.shape
+    from vinet_tpu.ops.conv import force_lower2d
+
     bb = S3DBackbone()
     base1, base2, base3, base4 = (_dense_time(m) for m in bb._stages())
 
-    # base1 stem (sep_conv3d 3->64): conv_s per-frame, conv_t dense -> split
+    # base1 stem (sep_conv3d 3->64): conv_s per-frame, conv_t dense -> split.
+    # The B=1/T=chunk dense spatial conv runs 3x faster folded to a T-batch
+    # 2-D conv (21.3 -> 7.2 ms measured) — opposite of parity mode.
     stem, pool, b1x1, sep192 = base1.layers
-    y, _ = stem.apply(params["base1"]["0"], state.get("base1", {}).get("0", {}), x, train=train)
+    with force_lower2d(86016):
+        y, _ = stem.apply(params["base1"]["0"], state.get("base1", {}).get("0", {}), x, train=train)
     y = _split_time(y)  # (2, N/2, 112, 192, 64)
     y, _ = pool.apply({}, {}, y)
     y, _ = b1x1.apply(params["base1"]["2"], state.get("base1", {}).get("2", {}), y, train=train)
@@ -128,6 +143,107 @@ def gather_windows(timelines, starts, clip_size: int = 32):
     return [y0, y1, y2, y3]
 
 
+def dense_decoder_front(dec_params, timelines):
+    """Per-chunk DENSE precomputation of the decoder's skip-window convs.
+
+    In windowed decoding, conv2/conv3/conv4 slide strided temporal kernels
+    over T-concats of [upsampled-deeper, skip-timeline-window]; for output
+    positions whose taps fall entirely inside the skip part, the window
+    conv at start s equals a VALID temporal conv over the skip TIMELINE at
+    an s-dependent position (conv2: outputs t2,t3; conv3/conv4: t1..t3 —
+    see decode_windows_v2). Overlapping windows share those positions, so
+    computing each timeline position ONCE per chunk does ~2.3x less conv
+    FLOPs than per-window evaluation and removes the dominant y2/y3 window
+    gathers (hundreds of MB per decode batch).
+
+    Returns raw (pre-relu) series plus the conv1 chain:
+      c1u: up2x(relu(conv1(y0t)))            (8, T0, 14, 24, 832)
+      c2y: VALID (3,3,3) conv of y1t          (4, T1-2, 14, 24, 480)
+      c3y: VALID (5,3,3) conv of y2t          (2, T2-4, 28, 48, 192)
+      c4y: VALID (5,3,3) conv of y3t          (2, T2-4, 56, 96, 64)
+
+    Exact rearrangement of Decoder.apply's plan-(3,32) computation
+    (tests/test_streaming.py::test_decode_v2_matches_v1).
+    """
+    from vinet_tpu.ops.conv import conv3d
+
+    y0t, y1t, y2t, y3t = timelines
+    w1 = dec_params["conv1"]["w"]
+    c1 = jax.nn.relu(conv3d(y0t, w1, stride=1, padding=(0, 1, 1)))
+    c1u = upsample2x_hw_batch(c1)
+    c2y = conv3d(y1t, dec_params["conv2"]["w"], stride=1, padding=(0, 1, 1))
+    c3y = conv3d(y2t, dec_params["conv3"]["w"], stride=1, padding=(0, 1, 1))
+    c4y = conv3d(y3t, dec_params["conv4"]["w"], stride=1, padding=(0, 1, 1))
+    return c1u, c2y, c3y, c4y
+
+
+def upsample2x_hw_batch(x):
+    from vinet_tpu.ops.upsample import upsample2x_hw
+
+    return upsample2x_hw(x)
+
+
+def decode_windows_v2(decoder, dec_params, timelines, dense, starts):
+    """Windowed decode using the dense front: only the up-mixing output
+    positions are computed per window; pure-skip positions are gathered
+    from the dense series. Plan (3,32) geometry:
+
+      conv2 over [z1(4), y1win(8)], kt3 st3: t0 = z1[0:3] (windowed),
+        t1 = z1[3] + y1[0:2] (windowed), t2/t3 = y1[2:5]/[5:8] (dense)
+      conv3 over [z2(4), y2win(16)], kt5 st5: t0 = z2[0:4] + y2[0]
+        (windowed), t1..t3 = y2[1:6]/[6:11]/[11:16] (dense)
+      conv4: same shape as conv3 over y3
+      conv5 + head: phase-folded tail (models/decoder.py), per window.
+
+    The decoder convs carry no biases (reference model.py:251-311), so
+    partial contributions sum exactly before each relu."""
+    from vinet_tpu.ops.conv import conv3d
+    from vinet_tpu.ops.phasefold import conv_after_up2x
+    from vinet_tpu.ops.upsample import upsample2x_hw
+
+    _, y1t, y2t, y3t = timelines
+    c1u, c2y, c3y, c4y = dense
+    s = starts.astype(jnp.int32)
+    p1, s1 = s % 2, s // 2
+    p2, s2 = s1 % 2, s1 // 2
+    p3, s3 = s2 % 2, s2 // 2
+    pb = p2 * 2 + p1
+    p0 = p3 * 4 + p2 * 2 + p1
+
+    def gat(t, p, base, offs):
+        return t[p[:, None], base[:, None] + jnp.asarray(offs, jnp.int32)[None, :]]
+
+    w2 = dec_params["conv2"]["w"]
+    w3 = dec_params["conv3"]["w"]
+    w4 = dec_params["conv4"]["w"]
+
+    z1 = gat(c1u, p0, s3, (0, 1, 2, 3))            # (Bw, 4, 14, 24, 832)
+    y1h = gat(y1t, pb, s2, (0, 1))                 # (Bw, 2, 14, 24, 832)
+    t0 = conv3d(z1[:, 0:3], w2[0:3], stride=1, padding=(0, 1, 1))
+    t1 = (conv3d(z1[:, 3:4], w2[0:1], stride=1, padding=(0, 1, 1))
+          + conv3d(y1h, w2[1:3], stride=1, padding=(0, 1, 1)))
+    t23 = gat(c2y, pb, s2, (2, 5))
+    z2 = jax.nn.relu(jnp.concatenate([t0, t1, t23.astype(t0.dtype)], axis=1))
+    z2u = upsample2x_hw(z2)                        # (Bw, 4, 28, 48, 480)
+
+    y2f = gat(y2t, p1, s1, (0,))
+    t0 = (conv3d(z2u, w3[0:4], stride=1, padding=(0, 1, 1))
+          + conv3d(y2f, w3[4:5], stride=1, padding=(0, 1, 1)))
+    t123 = gat(c3y, p1, s1, (1, 6, 11))
+    z3 = jax.nn.relu(jnp.concatenate([t0, t123.astype(t0.dtype)], axis=1))
+    z3u = upsample2x_hw(z3)                        # (Bw, 4, 56, 96, 192)
+
+    y3f = gat(y3t, p1, s1, (0,))
+    t0 = (conv3d(z3u, w4[0:4], stride=1, padding=(0, 1, 1))
+          + conv3d(y3f, w4[4:5], stride=1, padding=(0, 1, 1)))
+    t123 = gat(c4y, p1, s1, (1, 6, 11))
+    z4 = jax.nn.relu(jnp.concatenate([t0, t123.astype(t0.dtype)], axis=1))
+
+    z5 = jax.nn.relu(conv_after_up2x(
+        z4, dec_params["conv5"]["w"], dec_params["conv5"].get("b"), stride_t=2))
+    return decoder._phase_tail(dec_params, z5)
+
+
 class StreamingPredictor:
     """Drop-in alternative to SlidingWindowPredictor for ViNet (visual-only):
     same emission order/indices, --streaming semantics. Warm-up frames
@@ -151,22 +267,40 @@ class StreamingPredictor:
         assert chunk % 8 == 0 and chunk >= 2 * clip_size
         self._jitted = {}
 
+    def _use_v2(self):
+        """Dense-decoder-front fast path: plan-(3,32) geometry only."""
+        from vinet_tpu.models.decoder import DECODER_PLANS
+
+        return (self.clip_size == 32
+                and self.model.decoder.plan == DECODER_PLANS[(3, 32)]
+                and os.environ.get("VINET_STREAM_V2", "1") != "0")
+
     def _timeline_fn(self):
         if "timeline" not in self._jitted:
             def run(frames_u8, flip):
                 x = device_preprocess(frames_u8[None]).astype(self.dtype)
                 x = jnp.where(flip, x[:, ::-1], x)
-                return streaming_pyramid(self.params["backbone"],
-                                         self.state.get("backbone", {}), x)
+                tl = streaming_pyramid(self.params["backbone"],
+                                       self.state.get("backbone", {}), x)
+                if self._use_v2():
+                    return tl, dense_decoder_front(self.params["decoder"], tl)
+                return tl, None
             self._jitted["timeline"] = jax.jit(run)
         return self._jitted["timeline"]
 
     def _decode_fn(self):
         if "decode" not in self._jitted:
-            def run(timelines, starts):
-                pyr = gather_windows(timelines, starts, self.clip_size)
-                out, _ = self.model.decoder.apply(self.params["decoder"], {}, pyr)
-                return out.astype(jnp.float32)
+            if self._use_v2():
+                def run(timelines, dense, starts):
+                    out = decode_windows_v2(self.model.decoder,
+                                            self.params["decoder"],
+                                            timelines, dense, starts)
+                    return out.astype(jnp.float32)
+            else:
+                def run(timelines, dense, starts):
+                    pyr = gather_windows(timelines, starts, self.clip_size)
+                    out, _ = self.model.decoder.apply(self.params["decoder"], {}, pyr)
+                    return out.astype(jnp.float32)
             self._jitted["decode"] = jax.jit(run)
         return self._jitted["decode"]
 
@@ -246,13 +380,13 @@ class StreamingPredictor:
             wins = [(f, s) for f, s in wins if f not in done]
             if not wins:
                 continue
-            tl = timeline(frames_dev[chunk_start : chunk_start + chunk],
-                          jnp.asarray(flipped))
+            tl, dense = timeline(frames_dev[chunk_start : chunk_start + chunk],
+                                 jnp.asarray(flipped))
             for lo in range(0, len(wins), self.batch):
                 group = wins[lo : lo + self.batch]
                 pad_n = self.batch - len(group)
                 sarr = np.asarray([s for _, s in group] + [0] * pad_n, np.int32)
-                maps = decode(tl, jnp.asarray(sarr))
+                maps = decode(tl, dense, jnp.asarray(sarr))
                 done.update(f for f, _ in group)
                 pending.append(([f for f, _ in group], post(maps)[: len(group)]))
                 if len(pending) >= 4:

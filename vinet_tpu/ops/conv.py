@@ -89,14 +89,39 @@ def conv3d(
     return out.astype(x.dtype)
 
 
+_LOWER2D_FORCE: list = []  # stack of numeric thresholds (see force_lower2d)
+
+
+class force_lower2d:
+    """Trace-time context: lower kt==1 spatial convs with pixel area >= the
+    threshold to 2-D regardless of VINET_LOWER2D. Used by the streaming
+    timeline, where the dense B=1/T=chunk stem conv measured 21.3 ms as a
+    3-D conv vs 7.2 ms folded to a T-batch 2-D conv (parity mode keeps the
+    3-D path: there the SAME lowering was slower e2e)."""
+
+    def __init__(self, min_area: int):
+        self.min_area = min_area
+
+    def __enter__(self):
+        _LOWER2D_FORCE.append(self.min_area)
+        return self
+
+    def __exit__(self, *exc):
+        _LOWER2D_FORCE.pop()
+        return False
+
+
 def _lower_spatial_to_2d(x_shape, w_shape) -> bool:
     """Policy gate for the kt==1 2-D lowering. VINET_LOWER2D:
     off | all | auto (area>=5376 or cin>=512) | a number (min pixel area,
     no cin clause — e.g. 86016 lowers only the 224x384 stem conv).
 
     DEFAULT OFF: despite 1.5-15x isolated per-op wins (exp_conv_variants),
-    every policy measured SLOWER end-to-end (auto: 166 vs 192 fps) — the
-    reshapes break XLA's cross-op fusion. Kept as an opt-in experiment."""
+    every policy measured SLOWER e2e in PARITY mode (auto: 166 vs 192 fps)
+    — the reshapes break XLA's cross-op fusion. The STREAMING timeline
+    opts in via force_lower2d (measured 3x faster there)."""
+    if _LOWER2D_FORCE and x_shape[2] * x_shape[3] >= _LOWER2D_FORCE[-1]:
+        return True
     mode = os.environ.get("VINET_LOWER2D", "off")
     if mode == "off":
         return False
