@@ -152,3 +152,37 @@ def test_decode_v2_matches_v1():
     got = decode_windows_v2(model.decoder, dp, tl, dense, starts)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_av_decode_v2_matches_v1(monkeypatch):
+    """AViNet streaming decode: per-window audio fusion feeding the dense
+    decoder front equals gather_windows + fuse + Decoder.apply."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.inference.streaming import (AVStreamingPredictor,
+                                               dense_decoder_front)
+    from vinet_tpu.models import AViNet
+
+    model = AViNet(input_hw=(64, 96))
+    params, state = model.init(jax.random.PRNGKey(0))
+    pred = AVStreamingPredictor(model, params, state, clip_size=32, batch=4,
+                                chunk=64, dtype=jnp.float32)
+    chunk = 64
+    tl = (
+        jax.random.normal(jax.random.PRNGKey(2), (8, chunk // 8, 2, 3, 1024), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(3), (4, chunk // 4, 4, 6, 832), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(4), (2, chunk // 2, 8, 12, 480), jnp.float32),
+        jax.random.normal(jax.random.PRNGKey(5), (2, chunk // 2, 16, 24, 192), jnp.float32),
+    )
+    starts = jnp.asarray([0, 3, 17, 32], jnp.int32)
+    audio = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (4, 70560, 1), jnp.float32)
+    dense = dense_decoder_front(pred._dec_params(), tl, with_conv1=False)
+
+    monkeypatch.setenv("VINET_STREAM_V2", "0")
+    ref = pred._decode_fn()(tl, dense, starts, audio)
+    pred._jitted.pop("decode")
+    monkeypatch.setenv("VINET_STREAM_V2", "1")
+    got = pred._decode_fn()(tl, dense, starts, audio)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

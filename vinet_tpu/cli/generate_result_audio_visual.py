@@ -45,6 +45,11 @@ def build_parser():
     p.add_argument("--num_parts", type=int, default=4)
     p.add_argument("--window_batch", type=int, default=16)
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--streaming", action="store_true",
+                   help="whole-video streaming encoder: shared visual "
+                        "timelines + per-window audio fusion (~same speedup "
+                        "as generate_result --streaming; window-edge padding "
+                        "semantics differ slightly from the reference)")
     add_model_args(p)
     return p
 
@@ -67,10 +72,24 @@ def run(args) -> int:
     if args.file_weight:
         params, state = load_weights(args.file_weight, model, params, state)
 
-    predictor = SlidingWindowPredictor(
-        model, params, state, clip_size=args.clip_size, batch=args.window_batch,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-    )
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if getattr(args, "streaming", False) and args.use_sound:
+        from vinet_tpu.inference.streaming import AVStreamingPredictor
+
+        predictor = AVStreamingPredictor(
+            model, params, state, clip_size=args.clip_size,
+            batch=args.window_batch, dtype=dtype)
+    elif getattr(args, "streaming", False):
+        from vinet_tpu.inference.streaming import StreamingPredictor
+
+        predictor = StreamingPredictor(
+            model, params, state, clip_size=args.clip_size,
+            batch=args.window_batch, dtype=dtype)
+    else:
+        predictor = SlidingWindowPredictor(
+            model, params, state, clip_size=args.clip_size, batch=args.window_batch,
+            dtype=dtype,
+        )
 
     if getattr(args, "fps_json", None):
         from vinet_tpu.data.datasets import read_fps_json

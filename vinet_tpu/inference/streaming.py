@@ -143,7 +143,7 @@ def gather_windows(timelines, starts, clip_size: int = 32):
     return [y0, y1, y2, y3]
 
 
-def dense_decoder_front(dec_params, timelines):
+def dense_decoder_front(dec_params, timelines, *, with_conv1: bool = True):
     """Per-chunk DENSE precomputation of the decoder's skip-window convs.
 
     In windowed decoding, conv2/conv3/conv4 slide strided temporal kernels
@@ -168,9 +168,13 @@ def dense_decoder_front(dec_params, timelines):
     from vinet_tpu.ops.conv import conv3d
 
     y0t, y1t, y2t, y3t = timelines
-    w1 = dec_params["conv1"]["w"]
-    c1 = jax.nn.relu(conv3d(y0t, w1, stride=1, padding=(0, 1, 1)))
-    c1u = upsample2x_hw_batch(c1)
+    c1u = None
+    if with_conv1:
+        # AViNet fuses audio into y0 per window, so its conv1 is windowed
+        # (decode_windows_v2's y0_fused) and this dense series is skipped
+        w1 = dec_params["conv1"]["w"]
+        c1 = jax.nn.relu(conv3d(y0t, w1, stride=1, padding=(0, 1, 1)))
+        c1u = upsample2x_hw_batch(c1)
     c2y = conv3d(y1t, dec_params["conv2"]["w"], stride=1, padding=(0, 1, 1))
     c3y = conv3d(y2t, dec_params["conv3"]["w"], stride=1, padding=(0, 1, 1))
     c4y = conv3d(y3t, dec_params["conv4"]["w"], stride=1, padding=(0, 1, 1))
@@ -183,7 +187,8 @@ def upsample2x_hw_batch(x):
     return upsample2x_hw(x)
 
 
-def decode_windows_v2(decoder, dec_params, timelines, dense, starts):
+def decode_windows_v2(decoder, dec_params, timelines, dense, starts,
+                      y0_fused=None):
     """Windowed decode using the dense front: only the up-mixing output
     positions are computed per window; pure-skip positions are gathered
     from the dense series. Plan (3,32) geometry:
@@ -217,7 +222,13 @@ def decode_windows_v2(decoder, dec_params, timelines, dense, starts):
     w3 = dec_params["conv3"]["w"]
     w4 = dec_params["conv4"]["w"]
 
-    z1 = gat(c1u, p0, s3, (0, 1, 2, 3))            # (Bw, 4, 14, 24, 832)
+    if y0_fused is not None:
+        # per-window y0 (audio-fused for AViNet): conv1 runs windowed
+        w1 = dec_params["conv1"]["w"]
+        z1 = upsample2x_hw(jax.nn.relu(
+            conv3d(y0_fused, w1, stride=1, padding=(0, 1, 1))))
+    else:
+        z1 = gat(c1u, p0, s3, (0, 1, 2, 3))        # (Bw, 4, 14, 24, 832)
     y1h = gat(y1t, pb, s2, (0, 1))                 # (Bw, 2, 14, 24, 832)
     t0 = conv3d(z1[:, 0:3], w2[0:3], stride=1, padding=(0, 1, 1))
     t1 = (conv3d(z1[:, 3:4], w2[0:1], stride=1, padding=(0, 1, 1))
@@ -267,23 +278,38 @@ class StreamingPredictor:
         assert chunk % 8 == 0 and chunk >= 2 * clip_size
         self._jitted = {}
 
+    # --- model-layout hooks (AVStreamingPredictor reroutes these) ---
+    def _bb_params(self):
+        return self.params["backbone"], self.state.get("backbone", {})
+
+    def _dec_params(self):
+        return self.params["decoder"]
+
+    def _decoder(self):
+        return self.model.decoder
+
     def _use_v2(self):
         """Dense-decoder-front fast path: plan-(3,32) geometry only."""
         from vinet_tpu.models.decoder import DECODER_PLANS
 
         return (self.clip_size == 32
-                and self.model.decoder.plan == DECODER_PLANS[(3, 32)]
+                and self._decoder().plan == DECODER_PLANS[(3, 32)]
                 and os.environ.get("VINET_STREAM_V2", "1") != "0")
+
+    def _dense_with_conv1(self):
+        return True
 
     def _timeline_fn(self):
         if "timeline" not in self._jitted:
             def run(frames_u8, flip):
                 x = device_preprocess(frames_u8[None]).astype(self.dtype)
                 x = jnp.where(flip, x[:, ::-1], x)
-                tl = streaming_pyramid(self.params["backbone"],
-                                       self.state.get("backbone", {}), x)
+                bb_p, bb_s = self._bb_params()
+                tl = streaming_pyramid(bb_p, bb_s, x)
                 if self._use_v2():
-                    return tl, dense_decoder_front(self.params["decoder"], tl)
+                    return tl, dense_decoder_front(
+                        self._dec_params(), tl,
+                        with_conv1=self._dense_with_conv1())
                 return tl, None
             self._jitted["timeline"] = jax.jit(run)
         return self._jitted["timeline"]
@@ -291,17 +317,16 @@ class StreamingPredictor:
     def _decode_fn(self):
         if "decode" not in self._jitted:
             if self._use_v2():
-                def run(timelines, dense, starts):
-                    out = decode_windows_v2(self.model.decoder,
-                                            self.params["decoder"],
+                def run(timelines, dense, starts, audio=None):
+                    out = decode_windows_v2(self._decoder(), self._dec_params(),
                                             timelines, dense, starts)
                     return out.astype(jnp.float32)
             else:
-                def run(timelines, dense, starts):
+                def run(timelines, dense, starts, audio=None):
                     pyr = gather_windows(timelines, starts, self.clip_size)
-                    out, _ = self.model.decoder.apply(self.params["decoder"], {}, pyr)
+                    out, _ = self._decoder().apply(self._dec_params(), {}, pyr)
                     return out.astype(jnp.float32)
-            self._jitted["decode"] = jax.jit(run)
+            self._jitted["decode"] = jax.jit(run, static_argnames=())
         return self._jitted["decode"]
 
     def _post_fn(self, out_hw: tuple):
@@ -315,10 +340,15 @@ class StreamingPredictor:
             self._jitted[out_hw] = jax.jit(post)
         return self._jitted[out_hw]
 
-    def predict_video(self, frames_u8: np.ndarray, *, out_size=None, pad_short=False):
+    def predict_video(self, frames_u8: np.ndarray, *, out_size=None, pad_short=False,
+                      audio_fn=None):
         """frames_u8: (N, H, W, 3) uint8 model-sized frames. Yields
         (frame_index, map) for every predictable frame, in the reference's
-        emission order (warm-up flipped maps interleaved)."""
+        emission order (warm-up flipped maps interleaved).
+
+        audio_fn(start_idx) -> (L, 1) float32: per-window audio excerpt for
+        AViNet models (AVStreamingPredictor); excerpts for warm-up windows
+        are time-flipped to match the flipped clips (engine.py semantics)."""
         n = frames_u8.shape[0]
         t = self.clip_size
         if n < 2 * t - 1:
@@ -386,9 +416,97 @@ class StreamingPredictor:
                 group = wins[lo : lo + self.batch]
                 pad_n = self.batch - len(group)
                 sarr = np.asarray([s for _, s in group] + [0] * pad_n, np.int32)
-                maps = decode(tl, dense, jnp.asarray(sarr))
+                audio = None
+                if audio_fn is not None:
+                    # original-video window start for the audio excerpt:
+                    # warm-up windows start at their emitted frame, normal
+                    # windows t-1 before it (engine.window_plan semantics)
+                    exc = [audio_fn(max(0, f if flipped else f - self.clip_size + 1))
+                           for f, _ in group]
+                    if flipped:
+                        exc = [e[::-1] for e in exc]
+                    audio = jnp.asarray(np.stack(
+                        exc + [np.zeros_like(exc[0])] * pad_n))
+                maps = decode(tl, dense, jnp.asarray(sarr), audio)
                 done.update(f for f, _ in group)
                 pending.append(([f for f, _ in group], post(maps)[: len(group)]))
                 if len(pending) >= 4:
                     yield from flush()
         yield from flush()
+
+
+class AVStreamingPredictor(StreamingPredictor):
+    """Streaming sliding-window inference for AViNet (bilinear fusion,
+    reference VideoAudioSaliencyModel): the VISUAL backbone timelines are
+    shared across overlapping windows exactly as for ViNet, while the
+    per-window work — SoundNet on the window's audio excerpt, the
+    y0 maxpool + bilinear fusion (+ optional transformer refinement), and
+    the decoder — runs in window batches, with the pure-skip decoder
+    positions still served by the dense front (y1/y2/y3 are audio-free).
+    Reference workload: generate_result_audio_visual.py sliding windows."""
+
+    def _bb_params(self):
+        return (self.params["visual_model"]["backbone"],
+                self.state.get("visual_model", {}).get("backbone", {}))
+
+    def _dec_params(self):
+        return self.params["visual_model"]["decoder"]
+
+    def _decoder(self):
+        return self.model.visual.decoder
+
+    def _dense_with_conv1(self):
+        return False
+
+    def _fuse(self, y0w, audio):
+        """Per-window audio-visual fusion: y0w (Bw, 4, 7, 12, 1024),
+        audio (Bw, L, 1) -> fused (Bw, 4, 7, 12, 1024). Mirrors
+        AViNet.apply's fusion block (models/avinet.py)."""
+        from vinet_tpu.models.avinet import (_ndhwc_from_tokens,
+                                             _tokens_from_ndhwc)
+        from vinet_tpu.ops.conv import maxpool3d
+
+        m = self.model
+        a, _ = m.audionet.apply(self.params["audionet"],
+                                self.state.get("audionet", {}),
+                                audio.astype(self.dtype))
+        y0p = maxpool3d(y0w, kernel=(4, 1, 1), stride=(2, 1, 2), padding=0)
+        v = _tokens_from_ndhwc(y0p)
+        at = jnp.swapaxes(a, 1, 2)
+        fused, _ = m.bilinear.apply(self.params["bilinear"], {}, v, at)
+        fused = _ndhwc_from_tokens(fused, m.y0_tdhw)
+        if m.use_transformer:
+            cin, tr, cout = m._refiner()
+            z, _ = cin.apply(self.params["conv_in_1x1"], {}, fused)
+            tokens = _tokens_from_ndhwc(z)
+            tokens, _ = tr.apply(self.params["transformer"], {}, tokens)
+            z = _ndhwc_from_tokens(tokens, m.y0_tdhw)
+            fused, _ = cout.apply(self.params["conv_out_1x1"], {}, z)
+        return fused
+
+    def _gather_y0(self, y0t, starts):
+        s = starts.astype(jnp.int32)
+        p1, s1 = s % 2, s // 2
+        p2, s2 = s1 % 2, s1 // 2
+        p3, s3 = s2 % 2, s2 // 2
+        p0 = p3 * 4 + p2 * 2 + p1
+        t4 = jnp.arange(self.clip_size // 8, dtype=jnp.int32)
+        return y0t[p0[:, None], s3[:, None] + t4[None, :]]
+
+    def _decode_fn(self):
+        if "decode" not in self._jitted:
+            if self._use_v2():
+                def run(timelines, dense, starts, audio):
+                    fused = self._fuse(self._gather_y0(timelines[0], starts), audio)
+                    out = decode_windows_v2(self._decoder(), self._dec_params(),
+                                            timelines, dense, starts,
+                                            y0_fused=fused)
+                    return out.astype(jnp.float32)
+            else:
+                def run(timelines, dense, starts, audio):
+                    pyr = gather_windows(timelines, starts, self.clip_size)
+                    pyr[0] = self._fuse(pyr[0], audio)
+                    out, _ = self._decoder().apply(self._dec_params(), {}, pyr)
+                    return out.astype(jnp.float32)
+            self._jitted["decode"] = jax.jit(run)
+        return self._jitted["decode"]
