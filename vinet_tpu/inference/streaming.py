@@ -95,30 +95,32 @@ def streaming_pyramid(params, state, x, *, train=False):
     bb = S3DBackbone()
     base1, base2, base3, base4 = (_dense_time(m) for m in bb._stages())
 
-    # base1 stem (sep_conv3d 3->64): conv_s per-frame, conv_t dense -> split.
-    # The B=1/T=chunk dense spatial conv runs 3x faster folded to a T-batch
-    # 2-D conv (21.3 -> 7.2 ms measured) — opposite of parity mode.
+    # Dense B=1/long-T spatial convs run faster folded to T-batch 2-D convs
+    # (stem: 21.3 -> 7.2 ms measured) — opposite of parity mode. The area
+    # threshold gates which convs fold (default: stem only; lower it with
+    # VINET_STREAM_LOWER2D to fold deeper stages too — A/B'd per geometry).
+    area = int(os.environ.get("VINET_STREAM_LOWER2D", "86016"))
     stem, pool, b1x1, sep192 = base1.layers
-    with force_lower2d(86016):
+    with force_lower2d(area):
         y, _ = stem.apply(params["base1"]["0"], state.get("base1", {}).get("0", {}), x, train=train)
-    y = _split_time(y)  # (2, N/2, 112, 192, 64)
-    y, _ = pool.apply({}, {}, y)
-    y, _ = b1x1.apply(params["base1"]["2"], state.get("base1", {}).get("2", {}), y, train=train)
-    y3, _ = sep192.apply(params["base1"]["3"], state.get("base1", {}).get("3", {}), y, train=train)
+        y = _split_time(y)  # (2, N/2, 112, 192, 64)
+        y, _ = pool.apply({}, {}, y)
+        y, _ = b1x1.apply(params["base1"]["2"], state.get("base1", {}).get("2", {}), y, train=train)
+        y3, _ = sep192.apply(params["base1"]["3"], state.get("base1", {}).get("3", {}), y, train=train)
 
-    y = MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)).apply({}, {}, y3)[0]
-    y2, _ = base2.apply(params["base2"], state.get("base2", {}), y, train=train)
+        y = MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1)).apply({}, {}, y3)[0]
+        y2, _ = base2.apply(params["base2"], state.get("base2", {}), y, train=train)
 
-    # maxp3 (3,3,3)s(2,2,2): dense in time (stride (1,2,2)) then split
-    y = MaxPool3d((3, 3, 3), (1, 2, 2), (1, 1, 1)).apply({}, {}, y2)[0]
-    y = _split_time(y)  # (4, N/4, 14, 24, 480)
-    y1, _ = base3.apply(params["base3"], state.get("base3", {}), y, train=train)
+        # maxp3 (3,3,3)s(2,2,2): dense in time (stride (1,2,2)) then split
+        y = MaxPool3d((3, 3, 3), (1, 2, 2), (1, 1, 1)).apply({}, {}, y2)[0]
+        y = _split_time(y)  # (4, N/4, 14, 24, 480)
+        y1, _ = base3.apply(params["base3"], state.get("base3", {}), y, train=train)
 
-    # maxt4 (2,1,1)s2: dense (length-1) then split; maxp4 spatial
-    y = MaxPool3d((2, 1, 1), (1, 1, 1), 0).apply({}, {}, y1)[0]
-    y = _split_time(y)  # (8, N/8, 14, 24, 832)
-    y = MaxPool3d((1, 2, 2), (1, 2, 2), 0).apply({}, {}, y)[0]
-    y0, _ = base4.apply(params["base4"], state.get("base4", {}), y, train=train)
+        # maxt4 (2,1,1)s2: dense (length-1) then split; maxp4 spatial
+        y = MaxPool3d((2, 1, 1), (1, 1, 1), 0).apply({}, {}, y1)[0]
+        y = _split_time(y)  # (8, N/8, 14, 24, 832)
+        y = MaxPool3d((1, 2, 2), (1, 2, 2), 0).apply({}, {}, y)[0]
+        y0, _ = base4.apply(params["base4"], state.get("base4", {}), y, train=train)
 
     return y0, y1, y2, y3
 
@@ -175,10 +177,35 @@ def dense_decoder_front(dec_params, timelines, *, with_conv1: bool = True):
         w1 = dec_params["conv1"]["w"]
         c1 = jax.nn.relu(conv3d(y0t, w1, stride=1, padding=(0, 1, 1)))
         c1u = upsample2x_hw_batch(c1)
-    c2y = conv3d(y1t, dec_params["conv2"]["w"], stride=1, padding=(0, 1, 1))
-    c3y = conv3d(y2t, dec_params["conv3"]["w"], stride=1, padding=(0, 1, 1))
-    c4y = conv3d(y3t, dec_params["conv4"]["w"], stride=1, padding=(0, 1, 1))
+    c2y = _valid_tconv(y1t, dec_params["conv2"]["w"])
+    c3y = _valid_tconv(y2t, dec_params["conv3"]["w"])
+    c4y = _valid_tconv(y3t, dec_params["conv4"]["w"])
     return c1u, c2y, c3y, c4y
+
+
+def _valid_tconv(x, w):
+    """(kt,3,3) conv, VALID in T, spatial pad 1 — as kt per-frame 2-D convs
+    plus T-shifted adds (exact; XLA's 3-D conv codegen is 1.2-1.6x slower
+    on the long-timeline shapes here, measured; VINET_KTSUM=0 reverts)."""
+    from vinet_tpu.ops.conv import conv3d
+
+    if os.environ.get("VINET_KTSUM", "1") == "0":
+        return conv3d(x, w, stride=1, padding=(0, 1, 1))
+    from jax import lax
+
+    b, t, h, ww, c = x.shape
+    kt, co = w.shape[0], w.shape[-1]
+    x2 = x.reshape(b * t, h, ww, c)
+    acc = None
+    for k in range(kt):
+        y = lax.conv_general_dilated(
+            x2, w[k].astype(x.dtype), window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = y.reshape(b, t, h, ww, co)
+        piece = y[:, k:t - kt + 1 + k]
+        acc = piece if acc is None else acc + piece
+    return acc.astype(x.dtype)
 
 
 def upsample2x_hw_batch(x):
