@@ -49,9 +49,18 @@ def main():
         t0 = time.perf_counter()
         maps = dict(pred.predict_video(frames))
         dt = time.perf_counter() - t0
+        # production save path: uint8 maps quantized on device (4x smaller)
+        _ = dict(pred.predict_video(frames[: max(2 * 32, args.chunk)], quantize_u8=True))
+        t0q = time.perf_counter()
+        _ = dict(pred.predict_video(frames, quantize_u8=True))
+        dtq = time.perf_counter() - t0q
         results[name] = (dt, maps)
-        print(f"{name:10s}: {dt:6.2f} s for {len(maps)} maps "
-              f"-> {len(maps)/dt:7.1f} maps/s", flush=True)
+        print(f"{name:10s}: {dt:6.2f} s ({len(maps)/dt:6.1f} maps/s) f32; "
+              f"{dtq:6.2f} s ({len(maps)/dtq:6.1f} maps/s) uint8", flush=True)
+    print("NOTE: wall-clock through the axon tunnel is LINK-bound "
+          "(~2 MB/s up / ~45 MB/s down measured) — device-side rates "
+          "(bench.py: streaming 642 vs parity 222 maps/s) are the "
+          "hardware-meaningful comparison.", flush=True)
 
     dts, ms = results["streaming"]
     dtp, mp = results["parity"]

@@ -192,3 +192,22 @@ def test_conv3d_fast_paths_match_torch(kshape, stride, padding):
     yt = torch.nn.functional.conv3d(xt, wt, stride=stride, padding=padding)
     yt = yt.permute(0, 2, 3, 4, 1).numpy()
     np.testing.assert_allclose(np.asarray(y), yt, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_maps_u8_matches_save_map_math():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.ops.image import quantize_maps_u8
+
+    maps = jax.random.uniform(jax.random.PRNGKey(0), (3, 17, 23), jnp.float32)
+    maps = maps.at[1].set(0.5)  # constant map -> zeros
+    got = np.asarray(quantize_maps_u8(maps))
+    for i in range(3):
+        a = np.asarray(maps[i], np.float64)
+        mn, mx = a.min(), a.max()
+        a = (a - mn) / (mx - mn) if mx > mn else np.zeros_like(a)
+        ref = np.clip(np.round(a * 255.0 + 0.5), 0, 255).astype(np.uint8)
+        diff = np.abs(got[i].astype(int) - ref.astype(int))
+        assert diff.max() <= 1  # f32-vs-f64 rounding ties only

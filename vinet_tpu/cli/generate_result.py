@@ -110,7 +110,9 @@ def run(args) -> int:
 
             futures = []
             for frame_idx, smap in predictor.predict_video(
-                clip_u8, out_size=(orig_h, orig_w), pad_short=args.pad_short
+                clip_u8, out_size=(orig_h, orig_w), pad_short=args.pad_short,
+                quantize_u8=True,  # img_save quantization on device: 4x
+                # smaller transfers (differs from host f64 by <=1/255 on ties)
             ):
                 # keep the frame's own filename/extension (reference img_save
                 # writes png as png, jpg at quality 100)

@@ -136,7 +136,8 @@ def run(args) -> int:
 
             futures = []
             for frame_idx, smap in predictor.predict_video(
-                clip_u8, out_size=(orig_h, orig_w), audio_fn=audio_fn
+                clip_u8, out_size=(orig_h, orig_w), audio_fn=audio_fn,
+                quantize_u8=True,
             ):
                 out = join(args.save_path, v, os.path.splitext(frames[frame_idx])[0] + ".jpg")
                 futures.append(pool.submit(save_map, smap, out, normalize=True))

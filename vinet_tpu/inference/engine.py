@@ -90,36 +90,48 @@ class SlidingWindowPredictor:
             return self._jitted["model"]
 
         def run(x, flip, audio=None):
-            if audio is None:
-                maps, _ = self.model.apply(self.params, self.state, x)
-            else:
-                aud = audio.astype(self.dtype)
-                aud = jnp.where(flip[:, None, None], aud[:, ::-1], aud)
-                maps, _ = self.model.apply(self.params, self.state, x, aud)
+            from vinet_tpu.models.inference import _infer_lower2d_area
+            from vinet_tpu.ops.conv import force_lower2d
+
+            with force_lower2d(_infer_lower2d_area()):
+                if audio is None:
+                    maps, _ = self.model.apply(self.params, self.state, x)
+                else:
+                    aud = audio.astype(self.dtype)
+                    aud = jnp.where(flip[:, None, None], aud[:, ::-1], aud)
+                    maps, _ = self.model.apply(self.params, self.state, x, aud)
             return maps.astype(jnp.float32)
 
         fn = jax.jit(run)
         self._jitted["model"] = fn
         return fn
 
-    def _post_fn(self, out_hw: tuple):
-        """Jitted maps -> native-size blurred maps; cached per output size."""
-        if out_hw in self._jitted:
-            return self._jitted[out_hw]
+    def _post_fn(self, out_hw: tuple, quantize_u8: bool = False):
+        """Jitted maps -> native-size blurred maps (optionally img_save
+        uint8-quantized on device — 4x smaller transfers); cached per
+        (output size, quantize)."""
+        key = (out_hw, quantize_u8)
+        if key in self._jitted:
+            return self._jitted[key]
 
         def post(maps):
             if out_hw != maps.shape[1:]:
                 maps = jax.image.resize(
                     maps, (maps.shape[0], *out_hw), method="bilinear", antialias=False
                 )
-            return gaussian_blur(maps, ksize=self.blur_ksize)
+            maps = gaussian_blur(maps, ksize=self.blur_ksize)
+            if quantize_u8:
+                from vinet_tpu.ops.image import quantize_maps_u8
+
+                maps = quantize_maps_u8(maps)
+            return maps
 
         fn = jax.jit(post)
-        self._jitted[out_hw] = fn
+        self._jitted[key] = fn
         return fn
 
     def predict_video(self, frames_u8: np.ndarray, *, out_size=None, pad_short=False,
-                      audio_fn=None):
+                      audio_fn=None, quantize_u8=False):
         """frames_u8: (N, H, W, 3) uint8 model-sized frames. Yields
         (frame_index, map (out_h, out_w) float32) for every predictable frame.
 
@@ -140,7 +152,7 @@ class SlidingWindowPredictor:
         out_hw = tuple(out_size) if out_size is not None else frames_u8.shape[1:3]
         gather = self._gather_fn()
         fn = self._model_fn()
-        post = self._post_fn(out_hw)
+        post = self._post_fn(out_hw, quantize_u8)
         frames_dev = jax.device_put(frames_u8)
 
         # device->host transfers are the wall-clock bottleneck through the

@@ -356,19 +356,25 @@ class StreamingPredictor:
             self._jitted["decode"] = jax.jit(run, static_argnames=())
         return self._jitted["decode"]
 
-    def _post_fn(self, out_hw: tuple):
-        if out_hw not in self._jitted:
+    def _post_fn(self, out_hw: tuple, quantize_u8: bool = False):
+        key = (out_hw, quantize_u8)
+        if key not in self._jitted:
             def post(maps):
                 if out_hw != maps.shape[1:]:
                     maps = jax.image.resize(
                         maps, (maps.shape[0], *out_hw), method="bilinear", antialias=False
                     )
-                return gaussian_blur(maps, ksize=self.blur_ksize)
-            self._jitted[out_hw] = jax.jit(post)
-        return self._jitted[out_hw]
+                maps = gaussian_blur(maps, ksize=self.blur_ksize)
+                if quantize_u8:
+                    from vinet_tpu.ops.image import quantize_maps_u8
+
+                    maps = quantize_maps_u8(maps)
+                return maps
+            self._jitted[key] = jax.jit(post)
+        return self._jitted[key]
 
     def predict_video(self, frames_u8: np.ndarray, *, out_size=None, pad_short=False,
-                      audio_fn=None):
+                      audio_fn=None, quantize_u8=False):
         """frames_u8: (N, H, W, 3) uint8 model-sized frames. Yields
         (frame_index, map) for every predictable frame, in the reference's
         emission order (warm-up flipped maps interleaved).
@@ -388,7 +394,7 @@ class StreamingPredictor:
         out_hw = tuple(out_size) if out_size is not None else frames_u8.shape[1:3]
         timeline = self._timeline_fn()
         decode = self._decode_fn()
-        post = self._post_fn(out_hw)
+        post = self._post_fn(out_hw, quantize_u8)
 
         # chunk length: fixed self.chunk, shrunk (to a multiple of 8, >= 2t)
         # for short videos so tiny inputs don't compile the full-chunk graph

@@ -41,6 +41,14 @@ def save_map(arr: np.ndarray, path: str, *, normalize: bool = True) -> None:
     """Save a float saliency map as 8-bit grayscale with the reference's
     img_save quantization (min-max normalize, then round(x*255+0.5)
     — /root/reference/utils.py:66-78)."""
+    if np.asarray(arr).dtype == np.uint8:
+        # already quantized on device (ops/image.py:quantize_maps_u8)
+        im = Image.fromarray(np.asarray(arr))
+        if path.lower().endswith((".jpg", ".jpeg")):
+            im.save(path, quality=100)
+        else:
+            im.save(path)
+        return
     a = np.asarray(arr, dtype=np.float64)
     if normalize:
         mn, mx = a.min(), a.max()

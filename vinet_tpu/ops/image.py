@@ -106,3 +106,19 @@ def to_uint8_map(x: jax.Array) -> jax.Array:
     """Replicates the reference's img_save quantization: round(x*255 + 0.5)
     clamped to [0,255] (/root/reference/utils.py:71)."""
     return jnp.clip(jnp.round(x * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+
+
+def quantize_maps_u8(maps):
+    """Device-side img_save quantization: per-map min-max normalize then
+    round(x*255 + 0.5) to uint8 (reference utils.py:66-78 semantics, f32
+    instead of the host's f64 — differs by at most 1/255 on rounding ties).
+    Quantizing on device cuts the per-map device->host transfer 4x, which
+    dominates generate_result wall-clock through a remote TPU link.
+    maps: (B, H, W) float -> (B, H, W) uint8."""
+    import jax.numpy as jnp
+
+    m = maps.astype(jnp.float32)
+    mn = m.min(axis=(1, 2), keepdims=True)
+    mx = m.max(axis=(1, 2), keepdims=True)
+    nrm = jnp.where(mx > mn, (m - mn) / (mx - mn), jnp.zeros_like(m))
+    return jnp.clip(jnp.round(nrm * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
