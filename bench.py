@@ -235,6 +235,69 @@ def bench_streaming(batch, iters):
     return out
 
 
+def bench_avstream(batch, iters):
+    """Device-side AViNet streaming throughput: shared visual timelines +
+    per-window SoundNet/bilinear fusion (inference/streaming.py
+    AVStreamingPredictor machinery; reference workload
+    generate_result_audio_visual.py sliding windows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.inference.streaming import AVStreamingPredictor
+    from vinet_tpu.models import AViNet
+
+    chunk = int(os.environ.get("BENCH_CHUNK", "128"))
+    model = AViNet()
+    params, state = model.init(jax.random.PRNGKey(0))
+    pred = AVStreamingPredictor(model, params, state, clip_size=32,
+                                batch=batch, chunk=chunk)
+    frames = jax.random.randint(jax.random.PRNGKey(1), (chunk, 224, 384, 3), 0, 255,
+                                jnp.uint8)
+    audio = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (batch, 70560, 1),
+                                    jnp.float32)
+
+    timeline = pred._timeline_fn()
+    decode = pred._decode_fn()
+    n_batches = (chunk - 32 + 1) // batch
+    starts_all = [jnp.arange(i * batch, (i + 1) * batch, dtype=jnp.int32)
+                  for i in range(n_batches)]
+    flip = jnp.asarray(False)
+
+    def run():
+        tl, dense = timeline(frames, flip)
+        out = None
+        for s in starts_all:
+            out = decode(tl, dense, s, audio)
+        return out
+
+    fence = _fence_fn()
+    readback = _readback_baseline(fence)
+    fence(run())
+    maps_per_iter = n_batches * batch
+    rates = []
+    for k in (iters, 2 * iters):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = run()
+        fence(out)
+        dt = max(time.perf_counter() - t0 - readback, 1e-9)
+        rates.append(maps_per_iter * k / dt)
+    warn = abs(rates[0] - rates[1]) / max(rates) > 0.15
+    out = {
+        "metric": "avinet_streaming_fps_per_chip",
+        "value": round(min(rates), 1),
+        "unit": "maps/s",
+        "vs_baseline": round(min(rates) / 60.0, 2),
+        "batch": batch,
+        "chunk": chunk,
+        "dtype": "bfloat16",
+        "device": str(jax.devices()[0]),
+    }
+    if warn:
+        out["linearity_warn"] = True
+    return out
+
+
 def bench_train(batch, iters):
     import jax
     import jax.numpy as jnp
@@ -317,7 +380,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16" if mode != "train" else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "20" if mode != "train" else "5"))
     result = {"vinet": bench_vinet, "avinet": bench_avinet, "train": bench_train,
-              "streaming": bench_streaming, "full": bench_full}[mode](batch, iters)
+              "streaming": bench_streaming, "avstream": bench_avstream,
+              "full": bench_full}[mode](batch, iters)
     print(json.dumps(result))
 
 
