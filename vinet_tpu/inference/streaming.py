@@ -262,17 +262,18 @@ def decode_windows_v2(decoder, dec_params, timelines, dense, starts,
           + conv3d(y1h, w2[1:3], stride=1, padding=(0, 1, 1)))
     t23 = gat(c2y, pb, s2, (2, 5))
     z2 = jax.nn.relu(jnp.concatenate([t0, t1, t23.astype(t0.dtype)], axis=1))
-    z2u = upsample2x_hw(z2)                        # (Bw, 4, 28, 48, 480)
 
+    # the t0 convs consume a 2x-upsampled input -> phase-fold them
+    # (ops/phasefold.py): one coarse-grid conv with 4x output channels
+    # instead of materializing the upsample and running at 1/4 lane util
     y2f = gat(y2t, p1, s1, (0,))
-    t0 = (conv3d(z2u, w3[0:4], stride=1, padding=(0, 1, 1))
+    t0 = (conv_after_up2x(z2, w3[0:4], stride_t=1, pad_t=0)
           + conv3d(y2f, w3[4:5], stride=1, padding=(0, 1, 1)))
     t123 = gat(c3y, p1, s1, (1, 6, 11))
     z3 = jax.nn.relu(jnp.concatenate([t0, t123.astype(t0.dtype)], axis=1))
-    z3u = upsample2x_hw(z3)                        # (Bw, 4, 56, 96, 192)
 
     y3f = gat(y3t, p1, s1, (0,))
-    t0 = (conv3d(z3u, w4[0:4], stride=1, padding=(0, 1, 1))
+    t0 = (conv_after_up2x(z3, w4[0:4], stride_t=1, pad_t=0)
           + conv3d(y3f, w4[4:5], stride=1, padding=(0, 1, 1)))
     t123 = gat(c4y, p1, s1, (1, 6, 11))
     z4 = jax.nn.relu(jnp.concatenate([t0, t123.astype(t0.dtype)], axis=1))
