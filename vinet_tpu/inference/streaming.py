@@ -41,8 +41,8 @@ import jax
 import jax.numpy as jnp
 
 from vinet_tpu.data.pipeline import device_preprocess
-from vinet_tpu.models.layers import BatchNorm, Composite, Conv3d, MaxPool3d, ReLU, Sequential
-from vinet_tpu.models.s3d import S3DBackbone, mixed
+from vinet_tpu.models.layers import Composite, Conv3d, MaxPool3d, Sequential
+from vinet_tpu.models.s3d import S3DBackbone
 from vinet_tpu.models.inference import cast_floating, fold_batchnorms
 from vinet_tpu.ops.image import gaussian_blur
 

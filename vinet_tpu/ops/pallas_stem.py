@@ -36,7 +36,7 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 
 H_TILE = 4
