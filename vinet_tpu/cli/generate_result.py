@@ -50,6 +50,15 @@ def build_parser():
                         "parity mode — see inference/streaming.py)")
     p.add_argument("--chunk", type=int, default=128,
                    help="streaming chunk length in frames (multiple of 8)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard window batches across all local devices over a "
+                        "jax Mesh 'data' axis (exact; supersedes launching "
+                        "--num_parts processes on a multi-chip host)")
+    p.add_argument("--exact_quantize", action="store_true",
+                   help="quantize maps to uint8 on the host in f64 (bit-exact "
+                        "reference img_save rounding) instead of on device in "
+                        "f32 (4x smaller transfers; can differ by 1 gray level "
+                        "on rounding ties)")
     add_model_args(p)
     return p
 
@@ -72,17 +81,22 @@ def run(args) -> int:
         params, state = load_weights(args.file_weight, model, params, state)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    mesh = None
+    if args.data_parallel:
+        from vinet_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
     if args.streaming:
         from vinet_tpu.inference.streaming import StreamingPredictor
 
         predictor = StreamingPredictor(
             model, params, state, clip_size=args.clip_size,
-            batch=args.window_batch, chunk=args.chunk, dtype=dtype,
+            batch=args.window_batch, chunk=args.chunk, dtype=dtype, mesh=mesh,
         )
     else:
         predictor = SlidingWindowPredictor(
             model, params, state, clip_size=args.clip_size,
-            batch=args.window_batch, dtype=dtype,
+            batch=args.window_batch, dtype=dtype, mesh=mesh,
         )
 
     videos = sorted(
@@ -111,8 +125,9 @@ def run(args) -> int:
             futures = []
             for frame_idx, smap in predictor.predict_video(
                 clip_u8, out_size=(orig_h, orig_w), pad_short=args.pad_short,
-                quantize_u8=True,  # img_save quantization on device: 4x
-                # smaller transfers (differs from host f64 by <=1/255 on ties)
+                # device u8 quantization: 4x smaller transfers (differs from
+                # host f64 by <=1/255 on ties; --exact_quantize opts out)
+                quantize_u8=not args.exact_quantize,
             ):
                 # keep the frame's own filename/extension (reference img_save
                 # writes png as png, jpg at quality 100)

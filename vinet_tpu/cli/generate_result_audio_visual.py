@@ -50,6 +50,12 @@ def build_parser():
                         "timelines + per-window audio fusion (~same speedup "
                         "as generate_result --streaming; window-edge padding "
                         "semantics differ slightly from the reference)")
+    p.add_argument("--exact_quantize", action="store_true",
+                   help="host f64 uint8 quantization (bit-exact reference "
+                        "img_save rounding) instead of device f32")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard window batches across all local devices over a "
+                        "jax Mesh 'data' axis (exact)")
     add_model_args(p)
     return p
 
@@ -73,22 +79,27 @@ def run(args) -> int:
         params, state = load_weights(args.file_weight, model, params, state)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from vinet_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
     if getattr(args, "streaming", False) and args.use_sound:
         from vinet_tpu.inference.streaming import AVStreamingPredictor
 
         predictor = AVStreamingPredictor(
             model, params, state, clip_size=args.clip_size,
-            batch=args.window_batch, dtype=dtype)
+            batch=args.window_batch, dtype=dtype, mesh=mesh)
     elif getattr(args, "streaming", False):
         from vinet_tpu.inference.streaming import StreamingPredictor
 
         predictor = StreamingPredictor(
             model, params, state, clip_size=args.clip_size,
-            batch=args.window_batch, dtype=dtype)
+            batch=args.window_batch, dtype=dtype, mesh=mesh)
     else:
         predictor = SlidingWindowPredictor(
             model, params, state, clip_size=args.clip_size, batch=args.window_batch,
-            dtype=dtype,
+            dtype=dtype, mesh=mesh,
         )
 
     if getattr(args, "fps_json", None):
@@ -137,7 +148,7 @@ def run(args) -> int:
             futures = []
             for frame_idx, smap in predictor.predict_video(
                 clip_u8, out_size=(orig_h, orig_w), audio_fn=audio_fn,
-                quantize_u8=True,
+                quantize_u8=not args.exact_quantize,
             ):
                 out = join(args.save_path, v, os.path.splitext(frames[frame_idx])[0] + ".jpg")
                 futures.append(pool.submit(save_map, smap, out, normalize=True))

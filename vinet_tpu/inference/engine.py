@@ -53,7 +53,14 @@ def window_plan(n_frames: int, clip_size: int, *, pad_short: bool = False) -> li
 
 class SlidingWindowPredictor:
     def __init__(self, model, params, state, *, clip_size: int = 32, batch: int = 16,
-                 dtype=jnp.bfloat16, blur_ksize: int = 11, fold: bool = True):
+                 dtype=jnp.bfloat16, blur_ksize: int = 11, fold: bool = True,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — window batches are sharded over
+        its "data" axis (GSPMD data-parallel inference; exact vs single
+        device, tests/test_inference_sharded.py). batch must be divisible by
+        the data axis size. The reference's only inference parallelism is
+        manual process sharding (generate_result.py:44-46); this is the
+        mesh-native counterpart."""
         if fold:
             params, state = fold_batchnorms(params, state)
         self.params = cast_floating(params, dtype)
@@ -63,7 +70,18 @@ class SlidingWindowPredictor:
         self.batch = batch
         self.dtype = dtype
         self.blur_ksize = blur_ksize
+        self.mesh = mesh
+        if mesh is not None:
+            assert batch % mesh.shape["data"] == 0, (batch, dict(mesh.shape))
         self._jitted = {}
+
+    def _shard_batch_axis(self, x):
+        """Sharding constraint: leading (window-batch) axis over "data"."""
+        if self.mesh is None:
+            return x
+        from vinet_tpu.parallel.mesh import batch_sharding
+
+        return jax.lax.with_sharding_constraint(x, batch_sharding(self.mesh))
 
     def _gather_fn(self):
         """Jitted (frames_u8, idx, flip) -> normalized clips in compute dtype.
@@ -74,10 +92,11 @@ class SlidingWindowPredictor:
             return self._jitted["gather"]
 
         def run(frames_u8, idx, flip):
+            idx = self._shard_batch_axis(idx)
             clips = frames_u8[idx]  # (B, T, H, W, 3) gather
             # time-flip where requested (warmup windows)
             clips = jnp.where(flip[:, None, None, None, None], clips[:, ::-1], clips)
-            return device_preprocess(clips).astype(self.dtype)
+            return self._shard_batch_axis(device_preprocess(clips).astype(self.dtype))
 
         fn = jax.jit(run)
         self._jitted["gather"] = fn
@@ -93,14 +112,15 @@ class SlidingWindowPredictor:
             from vinet_tpu.models.inference import _infer_lower2d_area
             from vinet_tpu.ops.conv import force_lower2d
 
+            x = self._shard_batch_axis(x)
             with force_lower2d(_infer_lower2d_area()):
                 if audio is None:
                     maps, _ = self.model.apply(self.params, self.state, x)
                 else:
-                    aud = audio.astype(self.dtype)
+                    aud = self._shard_batch_axis(audio.astype(self.dtype))
                     aud = jnp.where(flip[:, None, None], aud[:, ::-1], aud)
                     maps, _ = self.model.apply(self.params, self.state, x, aud)
-            return maps.astype(jnp.float32)
+            return self._shard_batch_axis(maps.astype(jnp.float32))
 
         fn = jax.jit(run)
         self._jitted["model"] = fn
@@ -115,6 +135,7 @@ class SlidingWindowPredictor:
             return self._jitted[key]
 
         def post(maps):
+            maps = self._shard_batch_axis(maps)
             if out_hw != maps.shape[1:]:
                 maps = jax.image.resize(
                     maps, (maps.shape[0], *out_hw), method="bilinear", antialias=False

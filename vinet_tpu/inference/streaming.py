@@ -292,7 +292,11 @@ class StreamingPredictor:
 
     def __init__(self, model, params, state, *, clip_size: int = 32, batch: int = 16,
                  chunk: int = 128, dtype=jnp.bfloat16, blur_ksize: int = 11,
-                 fold: bool = True):
+                 fold: bool = True, mesh=None):
+        """mesh: optional jax.sharding.Mesh — decode window batches are
+        sharded over its "data" axis (timelines replicated; exact vs single
+        device, tests/test_inference_sharded.py). batch must be divisible by
+        the data axis size."""
         if fold:
             params, state = fold_batchnorms(params, state)
         self.params = cast_floating(params, dtype)
@@ -303,8 +307,19 @@ class StreamingPredictor:
         self.chunk = chunk
         self.dtype = dtype
         self.blur_ksize = blur_ksize
+        self.mesh = mesh
+        if mesh is not None:
+            assert batch % mesh.shape["data"] == 0, (batch, dict(mesh.shape))
         assert chunk % 8 == 0 and chunk >= 2 * clip_size
         self._jitted = {}
+
+    def _shard_batch_axis(self, x):
+        """Sharding constraint: leading (window-batch) axis over "data"."""
+        if self.mesh is None:
+            return x
+        from vinet_tpu.parallel.mesh import batch_sharding
+
+        return jax.lax.with_sharding_constraint(x, batch_sharding(self.mesh))
 
     # --- model-layout hooks (AVStreamingPredictor reroutes these) ---
     def _bb_params(self):
@@ -346,14 +361,16 @@ class StreamingPredictor:
         if "decode" not in self._jitted:
             if self._use_v2():
                 def run(timelines, dense, starts, audio=None):
+                    starts = self._shard_batch_axis(starts)
                     out = decode_windows_v2(self._decoder(), self._dec_params(),
                                             timelines, dense, starts)
-                    return out.astype(jnp.float32)
+                    return self._shard_batch_axis(out.astype(jnp.float32))
             else:
                 def run(timelines, dense, starts, audio=None):
+                    starts = self._shard_batch_axis(starts)
                     pyr = gather_windows(timelines, starts, self.clip_size)
                     out, _ = self._decoder().apply(self._dec_params(), {}, pyr)
-                    return out.astype(jnp.float32)
+                    return self._shard_batch_axis(out.astype(jnp.float32))
             self._jitted["decode"] = jax.jit(run, static_argnames=())
         return self._jitted["decode"]
 
@@ -361,6 +378,7 @@ class StreamingPredictor:
         key = (out_hw, quantize_u8)
         if key not in self._jitted:
             def post(maps):
+                maps = self._shard_batch_axis(maps)
                 if out_hw != maps.shape[1:]:
                     maps = jax.image.resize(
                         maps, (maps.shape[0], *out_hw), method="bilinear", antialias=False
@@ -531,16 +549,20 @@ class AVStreamingPredictor(StreamingPredictor):
         if "decode" not in self._jitted:
             if self._use_v2():
                 def run(timelines, dense, starts, audio):
+                    starts = self._shard_batch_axis(starts)
+                    audio = self._shard_batch_axis(audio)
                     fused = self._fuse(self._gather_y0(timelines[0], starts), audio)
                     out = decode_windows_v2(self._decoder(), self._dec_params(),
                                             timelines, dense, starts,
                                             y0_fused=fused)
-                    return out.astype(jnp.float32)
+                    return self._shard_batch_axis(out.astype(jnp.float32))
             else:
                 def run(timelines, dense, starts, audio):
+                    starts = self._shard_batch_axis(starts)
+                    audio = self._shard_batch_axis(audio)
                     pyr = gather_windows(timelines, starts, self.clip_size)
                     pyr[0] = self._fuse(pyr[0], audio)
                     out, _ = self._decoder().apply(self._dec_params(), {}, pyr)
-                    return out.astype(jnp.float32)
+                    return self._shard_batch_axis(out.astype(jnp.float32))
             self._jitted["decode"] = jax.jit(run)
         return self._jitted["decode"]
