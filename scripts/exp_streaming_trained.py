@@ -1,0 +1,231 @@
+"""Streaming-vs-parity accuracy under TRAINED weights on STRUCTURED video.
+
+VERDICT r2 item 1: the 727 maps/s streaming headline's accuracy evidence was a
+random-weights/noise-input worst case (full-video CC p50 0.905). This
+experiment makes the bound meaningful for the production use case:
+
+  1. `data`  — synthesize a DHF1K-layout moving-blob dataset at the FULL
+               224x384 geometry (tests/fixtures.py generator).
+  2. `train` — train ViNet clip-32 on it to convergence with the train CLI
+               machinery (same path as a real run) -> best-val .npz.
+  3. `eval`  — on held-out structured videos (multi-blob, textured moving
+               background), emit every frame's map with BOTH predictors at
+               production settings (bf16, batch 16, chunk 128) and score the
+               streaming maps AS PREDICTIONS against the parity maps as GT:
+               CC / SIM / NSS (fixations = parity top-0.2% pixels) per frame.
+
+Run on the TPU (stages are idempotent; artifacts cached under --workdir):
+    python scripts/exp_streaming_trained.py --stage all
+Prints one JSON line per stage; `eval` also prints a markdown table row for
+PARITY.md. Reference semantics being compared:
+/root/reference/generate_result.py:58-73 (exact sliding window) vs the
+--streaming encoder (vinet_tpu/inference/streaming.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+H, W = 224, 384
+CLIP = 32
+
+
+def make_eval_video(n_frames=256, seed=100):
+    """Structured held-out video: two moving blobs (one bright/salient like
+    the training distribution, one dim distractor) over a drifting sinusoidal
+    background plus noise — content-ful on every frame, unlike the noise
+    fixture the round-2 bound used."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    frames = np.empty((n_frames, H, W, 3), np.uint8)
+    cy, cx = H // 2, W // 5
+    dy2, dx2 = 2.0, -1.5
+    cy2, cx2 = H // 3, 4 * W // 5
+    for f in range(n_frames):
+        cy = float(np.clip(cy + rng.integers(-3, 4), 16, H - 16))
+        cx = float(np.clip(cx + 1.5 + rng.integers(-1, 2), 16, W - 16))
+        if f % 64 == 0:
+            dy2, dx2 = -dy2, -dx2
+        cy2 = float(np.clip(cy2 + dy2, 16, H - 16))
+        cx2 = float(np.clip(cx2 + dx2, 16, W - 16))
+        g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 9.0**2))
+        g2 = np.exp(-((yy - cy2) ** 2 + (xx - cx2) ** 2) / (2 * 14.0**2))
+        bg = 40 + 25 * np.sin(2 * np.pi * (xx / 64.0 + f / 40.0)) \
+            + 15 * np.sin(2 * np.pi * (yy / 48.0 - f / 55.0))
+        img = bg[..., None] + rng.integers(0, 30, (H, W, 3))
+        img = img + 175.0 * g[..., None] + 60.0 * g2[..., None]
+        frames[f] = np.clip(img, 0, 255).astype(np.uint8)
+    return frames
+
+
+def _write_video(vdir, n_frames, rng):
+    """One DHF1K-layout video with RANDOMIZED blob dynamics (start, velocity,
+    size, brightness) so the model must learn 'track the bright blob' rather
+    than memorize per-video trajectories (a failure mode observed with the
+    fixed-dynamics tests/fixtures.py generator at this resolution)."""
+    from PIL import Image
+
+    os.makedirs(os.path.join(vdir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(vdir, "maps"), exist_ok=True)
+    os.makedirs(os.path.join(vdir, "fixation"), exist_ok=True)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    cy, cx = rng.uniform(24, H - 24), rng.uniform(24, W - 24)
+    vy, vx = rng.uniform(-3, 3), rng.uniform(-3, 3)
+    sigma = rng.uniform(6, 16)
+    amp = rng.uniform(140, 200)
+    for f in range(1, n_frames + 1):
+        vy += rng.uniform(-0.7, 0.7)
+        vx += rng.uniform(-0.7, 0.7)
+        vy, vx = np.clip(vy, -4, 4), np.clip(vx, -4, 4)
+        cy += vy
+        cx += vx
+        if not 16 <= cy <= H - 16:
+            vy = -vy
+            cy = float(np.clip(cy, 16, H - 16))
+        if not 16 <= cx <= W - 16:
+            vx = -vx
+            cx = float(np.clip(cx, 16, W - 16))
+        g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2))
+        img = rng.integers(0, 80, (H, W, 3)).astype(np.float64) + amp * g[..., None]
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            os.path.join(vdir, "images", "%04d.png" % f))
+        Image.fromarray((255.0 * g).astype(np.uint8)).save(
+            os.path.join(vdir, "maps", "%04d.png" % f))
+        fix = np.zeros((H, W), np.uint8)
+        fix[int(cy), int(cx)] = 255
+        Image.fromarray(fix).save(os.path.join(vdir, "fixation", "%04d.png" % f))
+
+
+def stage_data(workdir, n_train=96):
+    train_dir = os.path.join(workdir, "train_data")
+    val_dir = os.path.join(workdir, "val_data")
+    if not os.path.isdir(train_dir):
+        rng = np.random.default_rng(0)
+        for v in range(n_train):
+            _write_video(os.path.join(train_dir, "%03d" % (v + 1)), 70, rng)
+    if not os.path.isdir(val_dir):
+        rng = np.random.default_rng(77000)
+        for v in range(4):
+            _write_video(os.path.join(val_dir, "%03d" % (v + 1)), 70, rng)
+    print(json.dumps({"stage": "data", "train_videos": n_train, "val_videos": 4,
+                      "size": [H, W]}), flush=True)
+
+
+def stage_train(workdir, epochs, bf16=True):
+    from vinet_tpu.cli import train as train_cli
+
+    weights = os.path.join(workdir, "vinet_blob_best.npz")
+    if os.path.exists(weights):
+        print(json.dumps({"stage": "train", "cached": weights}), flush=True)
+        return weights
+    args = train_cli.build_parser().parse_args([
+        "--train_path_data", os.path.join(workdir, "train_data"),
+        "--val_path_data", os.path.join(workdir, "val_data"),
+        "--no_epochs", str(epochs), "--batch_size", "8",
+        "--no_workers", "8", "--log_interval", "2",
+        "--model_val_path", weights,
+    ] + (["--bf16"] if bf16 else []))
+    train_cli.run(args)
+    print(json.dumps({"stage": "train", "weights": weights}), flush=True)
+    return weights
+
+
+def _predict_all(pred, frames):
+    return {i: m for i, m in pred.predict_video(frames)}
+
+
+def stage_eval(workdir, n_frames, dtype_name):
+    import jax.numpy as jnp
+
+    from vinet_tpu.inference import SlidingWindowPredictor
+    from vinet_tpu.inference.streaming import StreamingPredictor
+    from vinet_tpu.io.convert import load_npz_tree
+    from vinet_tpu.metrics.saliency import cc_score, nss_score, similarity_score
+    from vinet_tpu.models import ViNet
+    from vinet_tpu.utils import enable_compilation_cache
+
+    import jax
+
+    enable_compilation_cache()
+    weights = os.path.join(workdir, "vinet_blob_best.npz")
+    model = ViNet(num_hier=3, clip_size=CLIP)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params, state = load_npz_tree(weights, params, state)
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    rows = []
+    per_video = []
+    for seed in (100, 101):
+        frames = make_eval_video(n_frames=n_frames, seed=seed)
+        par = _predict_all(SlidingWindowPredictor(
+            model, params, state, clip_size=CLIP, batch=16, dtype=dtype), frames)
+        stm = _predict_all(StreamingPredictor(
+            model, params, state, clip_size=CLIP, batch=16, chunk=128,
+            dtype=dtype), frames)
+        assert sorted(par) == sorted(stm) == list(range(n_frames))
+        ccs, sims, nsss, maxerr = [], [], [], []
+        for i in range(n_frames):
+            p, s = par[i], stm[i]
+            fix = p >= np.quantile(p, 0.998)  # top-0.2% parity pixels
+            ccs.append(cc_score(s, p))
+            sims.append(similarity_score(s, p))
+            nsss.append(nss_score(s, fix))
+            maxerr.append(float(np.abs(
+                (s - s.min()) / max(s.max() - s.min(), 1e-12)
+                - (p - p.min()) / max(p.max() - p.min(), 1e-12)).max()))
+        # NSS self-score of parity against its own fixations = the ceiling
+        nss_ceil = [nss_score(par[i], par[i] >= np.quantile(par[i], 0.998))
+                    for i in range(n_frames)]
+        row = {
+            "video_seed": seed,
+            "cc_mean": float(np.mean(ccs)), "cc_p50": float(np.median(ccs)),
+            "cc_min": float(np.min(ccs)),
+            "sim_mean": float(np.mean(sims)), "sim_p50": float(np.median(sims)),
+            "nss_mean": float(np.mean(nsss)),
+            "nss_ceiling_mean": float(np.mean(nss_ceil)),
+            "norm_maxerr_p50": float(np.median(maxerr)),
+            "norm_maxerr_max": float(np.max(maxerr)),
+        }
+        rows.append(row)
+        per_video.append((ccs, sims, nsss))
+    out = {"stage": "eval", "dtype": dtype_name, "n_frames": n_frames,
+           "geometry": f"clip{CLIP}/{H}x{W}", "videos": rows}
+    print(json.dumps(out), flush=True)
+    print("| video | CC mean | CC p50 | CC min | SIM mean | NSS mean (ceil) "
+          "| norm max|err| p50 |", flush=True)
+    print("|---|---|---|---|---|---|---|", flush=True)
+    for r in rows:
+        print(f"| seed {r['video_seed']} | {r['cc_mean']:.4f} | {r['cc_p50']:.4f} "
+              f"| {r['cc_min']:.4f} | {r['sim_mean']:.4f} "
+              f"| {r['nss_mean']:.2f} ({r['nss_ceiling_mean']:.2f}) "
+              f"| {r['norm_maxerr_p50']:.4f} |", flush=True)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage", default="all", choices=["data", "train", "eval", "all"])
+    p.add_argument("--workdir", default="/tmp/vinet_r3_streamacc")
+    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--eval_frames", type=int, default=256)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+    if args.stage in ("data", "all"):
+        stage_data(args.workdir)
+    if args.stage in ("train", "all"):
+        stage_train(args.workdir, args.epochs)
+    if args.stage in ("eval", "all"):
+        stage_eval(args.workdir, args.eval_frames, args.dtype)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,28 @@ def test_train_step_decreases_loss(tiny_setup):
     assert np.isfinite(losses).all()
 
 
+def test_bf16_train_step(tiny_setup):
+    """bf16-compute mixed precision (f32 masters): loss curve tracks the f32
+    step closely, params/opt_state/BN stats stay f32."""
+    model, optimizer, ts, batch = tiny_setup
+    step32 = make_train_step(model, LossConfig(), optimizer, donate=False)
+    step16 = make_train_step(model, LossConfig(), optimizer, donate=False,
+                             compute_dtype=jnp.bfloat16)
+    ts32, ts16 = ts, ts
+    l32, l16 = [], []
+    for _ in range(4):
+        ts32, m32 = step32(ts32, batch)
+        ts16, m16 = step16(ts16, batch)
+        l32.append(float(m32["loss"]))
+        l16.append(float(m16["loss"]))
+    assert np.isfinite(l16).all()
+    # same trajectory within bf16 rounding (loose: activations are bf16)
+    np.testing.assert_allclose(l16, l32, rtol=0.05, atol=0.02)
+    w = ts16["params"]["decoder"]["conv7"]["w"]
+    assert w.dtype == jnp.float32
+    assert ts16["state"]["backbone"]["base1"]["0"]["bn_s"]["mean"].dtype == jnp.float32
+
+
 def test_train_step_updates_bn_stats(tiny_setup):
     model, optimizer, ts, batch = tiny_setup
     step = make_train_step(model, LossConfig(), optimizer, donate=False)

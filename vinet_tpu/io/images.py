@@ -40,9 +40,14 @@ def load_map(path: str, *, size=None) -> np.ndarray:
 def save_map(arr: np.ndarray, path: str, *, normalize: bool = True) -> None:
     """Save a float saliency map as 8-bit grayscale with the reference's
     img_save quantization (min-max normalize, then round(x*255+0.5)
-    — /root/reference/utils.py:66-78)."""
+    — /root/reference/utils.py:66-78).
+
+    Contract for uint8 input: it must ALREADY be normalized+quantized
+    (ops/image.py:quantize_maps_u8) — it is written verbatim, and the
+    `normalize` argument does not apply (asserted below)."""
     if np.asarray(arr).dtype == np.uint8:
         # already quantized on device (ops/image.py:quantize_maps_u8)
+        assert normalize, "uint8 fast path requires pre-quantized input"
         im = Image.fromarray(np.asarray(arr))
         if path.lower().endswith((".jpg", ".jpeg")):
             im.save(path, quality=100)

@@ -26,6 +26,51 @@ def _triple(v) -> tuple:
     return (v, v, v)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv_pe(x, w, strides, padding, dn, lhs_dilation):
+    return lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding,
+        lhs_dilation=lhs_dilation, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+
+
+def _conv_pe_fwd(x, w, strides, padding, dn, lhs_dilation):
+    return _conv_pe(x, w, strides, padding, dn, lhs_dilation), (x, w)
+
+
+def _conv_pe_bwd(strides, padding, dn, lhs_dilation, res, g):
+    x, w = res
+    _, vjpf = jax.vjp(
+        lambda a, b: lax.conv_general_dilated(
+            a, b, window_strides=strides, padding=padding,
+            lhs_dilation=lhs_dilation, dimension_numbers=dn), x, w)
+    return vjpf(g.astype(x.dtype))
+
+
+_conv_pe.defvjp(_conv_pe_fwd, _conv_pe_bwd)
+
+
+def conv_f32acc(x, w, *, strides, padding, dn, lhs_dilation=None):
+    """conv_general_dilated with f32 accumulation that is DIFFERENTIABLE in
+    low precision. JAX's transpose rule for a conv carrying
+    preferred_element_type=f32 receives the f32 cotangent and rejects it
+    against bf16 operands (mixed-dtype TypeError); this wrapper keeps the
+    f32-accumulated forward and runs the backward convs in the compute dtype
+    (the standard mixed-precision recipe — backward also hits the MXU's 2x
+    bf16 rate). f32 inputs take the plain primitive (identical numerics)."""
+    lhs_dilation = lhs_dilation or (1,) * len(strides)
+    if x.dtype == jnp.float32:
+        return lax.conv_general_dilated(
+            x, w, window_strides=strides, padding=padding,
+            lhs_dilation=lhs_dilation, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+    return _conv_pe(x, w, tuple(strides), tuple(tuple(p) for p in padding),
+                    dn, tuple(lhs_dilation))
+
+
 def conv3d(
     x: jax.Array,
     w: jax.Array,
@@ -59,13 +104,12 @@ def conv3d(
     # temporal (k,1,1) convs stay 3-D (2-D fold measured 7x worse @28x48).
     if _lower_spatial_to_2d(x.shape, w.shape) and kt == 1 and stride[0] == 1 and pad[0] == 0:
         b, t, h, ww, c = x.shape
-        out = lax.conv_general_dilated(
+        out = conv_f32acc(
             x.reshape(b * t, h, ww, c),
             w[0].astype(x.dtype),
-            window_strides=stride[1:],
+            strides=stride[1:],
             padding=[(pad[1], pad[1]), (pad[2], pad[2])],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            dn=("NHWC", "HWIO", "NHWC"),
         )
         out = out.reshape(b, t, *out.shape[1:])
     elif kh == 1 and kw == 1 and kt > 1 and stride[1:] == (1, 1) and pad[1] == pad[2] == 0:
@@ -76,13 +120,12 @@ def conv3d(
 
         out = temporal_conv3d(x, w, stride=stride[0], pad=pad[0])
     else:
-        out = lax.conv_general_dilated(
+        out = conv_f32acc(
             x,
             w.astype(x.dtype),
-            window_strides=stride,
+            strides=stride,
             padding=[(p, p) for p in pad],
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
+            dn=("NDHWC", "DHWIO", "NDHWC"),
         )
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -148,13 +191,12 @@ def conv1d(
     (B, 1, L, 1) waveform (/root/reference/model.py:750-791); on TPU a plain
     NWC conv is the natural shape.
     """
-    out = lax.conv_general_dilated(
+    out = conv_f32acc(
         x,
         w.astype(x.dtype),
-        window_strides=(stride,),
+        strides=(stride,),
         padding=[(padding, padding)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        dn=("NWC", "WIO", "NWC"),
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -181,14 +223,13 @@ def conv_transpose3d(
     pad = _triple(padding)
     k = w.shape[:3]
     w_flipped = w[::-1, ::-1, ::-1]
-    out = lax.conv_general_dilated(
+    out = conv_f32acc(
         x,
         w_flipped.astype(x.dtype),
-        window_strides=(1, 1, 1),
+        strides=(1, 1, 1),
         padding=[(k[i] - 1 - pad[i], k[i] - 1 - pad[i]) for i in range(3)],
         lhs_dilation=stride,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        dn=("NDHWC", "DHWIO", "NDHWC"),
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)

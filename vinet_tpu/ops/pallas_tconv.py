@@ -34,15 +34,14 @@ import jax.numpy as jnp
 def _xla_tconv(x, w, stride, pad):
     """Reference XLA implementation (and the VJP source). x: (B,T,H,W,C);
     w: (K,1,1,C,Cout) or (K,C,Cout)."""
-    from jax import lax
+    from vinet_tpu.ops.conv import conv_f32acc
 
     if w.ndim == 3:
         w = w[:, None, None]
-    return lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=(stride, 1, 1),
+    return conv_f32acc(
+        x, w.astype(x.dtype), strides=(stride, 1, 1),
         padding=[(pad, pad), (0, 0), (0, 0)],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        dn=("NDHWC", "DHWIO", "NDHWC"),
     ).astype(x.dtype)
 
 

@@ -40,20 +40,40 @@ def init_train_state(model, key, optimizer: optax.GradientTransformation) -> dic
 
 
 def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransformation,
-                    *, donate: bool = True) -> Callable:
+                    *, donate: bool = True, compute_dtype=None) -> Callable:
     """Returns jitted step(train_state, batch) -> (train_state, metrics).
 
     batch: {"clip": (B,T,H,W,3), "gt": (B,H,W) or (B,Cl,H,W),
             optional "audio": (B,L,1)}.
-    """
+
+    compute_dtype=jnp.bfloat16 runs the forward/backward matmuls in bf16
+    (2x MXU rate) while master weights, optimizer state, BN statistics, and
+    the loss stay f32 — the standard TPU mixed-precision recipe. Gradients
+    arrive f32 through the cast (d(astype) = astype back). Loss-curve parity
+    vs f32 is pinned in tests/test_training.py::test_bf16_train_step."""
 
     def step(ts, batch):
         def loss_fn(params):
-            if "audio" in batch:
-                pred, new_state = model.apply(params, ts["state"], batch["clip"],
-                                              batch["audio"], train=True)
+            if compute_dtype is not None:
+                from vinet_tpu.models.inference import cast_floating
+
+                p = cast_floating(params, compute_dtype)
+                clip = batch["clip"].astype(compute_dtype)
+                audio = (batch["audio"].astype(compute_dtype)
+                         if "audio" in batch else None)
             else:
-                pred, new_state = model.apply(params, ts["state"], batch["clip"], train=True)
+                p, clip = params, batch["clip"]
+                audio = batch.get("audio")
+            if audio is not None:
+                pred, new_state = model.apply(p, ts["state"], clip,
+                                              audio, train=True)
+            else:
+                pred, new_state = model.apply(p, ts["state"], clip, train=True)
+            if compute_dtype is not None:
+                from vinet_tpu.models.inference import cast_floating
+
+                pred = pred.astype(jnp.float32)
+                new_state = cast_floating(new_state, jnp.float32)
             loss = loss_func(pred, batch["gt"], loss_cfg)
             return loss, new_state
 
