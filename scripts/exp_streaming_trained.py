@@ -131,7 +131,7 @@ def stage_train(workdir, epochs, bf16=True):
         "--val_path_data", os.path.join(workdir, "val_data"),
         "--no_epochs", str(epochs), "--batch_size", "8",
         "--no_workers", "8", "--log_interval", "2",
-        "--model_val_path", weights,
+        "--model_val_path", weights, "--bn_recal", "8",
     ] + (["--bf16"] if bf16 else []))
     train_cli.run(args)
     print(json.dumps({"stage": "train", "weights": weights}), flush=True)

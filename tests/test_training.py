@@ -61,6 +61,32 @@ def test_bf16_train_step(tiny_setup):
     assert ts16["state"]["backbone"]["base1"]["0"]["bn_s"]["mean"].dtype == jnp.float32
 
 
+def test_bn_recalibration(tiny_setup):
+    """recalibrate_bn replaces running stats with batch statistics: after
+    calibrating on a single batch, the eval-mode forward matches the
+    train-mode forward on that batch (batch stats == running stats). With
+    torch-parity momentum=0.001 the raw running stats stay near their (0,1)
+    init, so the uncalibrated eval forward differs wildly."""
+    from vinet_tpu.training.trainer import recalibrate_bn
+
+    model, optimizer, ts, batch = tiny_setup
+    step = make_train_step(model, LossConfig(), optimizer, donate=False)
+    ts1 = ts
+    for _ in range(3):
+        ts1, _ = step(ts1, batch)
+
+    train_out, _ = model.apply(ts1["params"], ts1["state"], batch["clip"], train=True)
+    state_cal = recalibrate_bn(model, ts1["params"], ts1["state"],
+                               [{"clip": batch["clip"]}])
+    eval_cal, _ = model.apply(ts1["params"], state_cal, batch["clip"])
+    eval_raw, _ = model.apply(ts1["params"], ts1["state"], batch["clip"])
+
+    err_cal = float(jnp.max(jnp.abs(eval_cal - train_out)))
+    err_raw = float(jnp.max(jnp.abs(eval_raw - train_out)))
+    assert err_cal < 0.05, err_cal
+    assert err_cal < err_raw  # calibration moved eval toward train behavior
+
+
 def test_train_step_updates_bn_stats(tiny_setup):
     model, optimizer, ts, batch = tiny_setup
     step = make_train_step(model, LossConfig(), optimizer, donate=False)

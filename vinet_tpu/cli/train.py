@@ -59,6 +59,14 @@ def build_parser():
                    help="full-model weights to start from (.pt or .npz)")
     p.add_argument("--max_steps_per_epoch", type=int, default=0, help="0 = full epoch")
     p.add_argument("--model_axis", type=int, default=1, help="mesh model-parallel size")
+    p.add_argument("--bn_recal", type=int, default=0,
+                   help="N>0: before each validation, replace BN running "
+                        "stats with average batch stats over N cached train "
+                        "batches. Needed for FROM-SCRATCH runs: torch-parity "
+                        "momentum=0.001 leaves running stats at init for "
+                        "thousands of steps (the reference never hits this — "
+                        "it always loads pretrained stats). 0 = reference "
+                        "behavior.")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (f32 master weights/optimizer/BN stats)"
                         " — 2x MXU rate; loss-curve parity tested")
@@ -115,7 +123,9 @@ def run(args) -> int:
         AverageMeter,
         adam,
         init_train_state,
+        make_bn_stats_fn,
         make_train_step,
+        recalibrate_bn,
     )
 
     model = build_model(args)
@@ -191,12 +201,17 @@ def run(args) -> int:
         return shard_batch(out, mesh)
 
     best_loss = float("inf")
+    stats_fn = make_bn_stats_fn(model) if args.bn_recal else None
+    calib_host = []  # raw host batches cached for BN recalibration
     for epoch in range(start_epoch, args.no_epochs):
         tic = time.time()
         total, cur = AverageMeter(), AverageMeter()
         for idx, batch in enumerate(train_loader):
             if args.max_steps_per_epoch and idx >= args.max_steps_per_epoch:
                 break
+            if args.bn_recal and len(calib_host) < args.bn_recal:
+                calib_host.append({k: np.asarray(v) for k, v in batch.items()
+                                   if k in ("clip", "audio")})
             ts, metrics = step_fn(ts, to_device(batch))
             loss = float(metrics["loss"])
             total.update(loss)
@@ -206,6 +221,13 @@ def run(args) -> int:
                       % (epoch, idx, cur.avg, (time.time() - tic) / 60), flush=True)
                 cur.reset()
         print("[%2d, train] avg_loss : %.5f" % (epoch, total.avg), flush=True)
+
+        if args.bn_recal and calib_host:
+            batches = ({"clip": device_preprocess(jnp.asarray(b["clip"])),
+                        **({"audio": jnp.asarray(b["audio"], jnp.float32)}
+                           if "audio" in b else {})} for b in calib_host)
+            ts = dict(ts, state=recalibrate_bn(
+                model, ts["params"], ts["state"], batches, stats_fn=stats_fn))
 
         if val_loader is not None:
             from vinet_tpu.ops.image import gaussian_blur

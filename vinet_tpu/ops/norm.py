@@ -29,12 +29,39 @@ def batchnorm_apply(params: dict, state: dict, x: jax.Array, *, eps: float) -> j
     return (x.astype(jnp.float32) * inv + (bias - mean * inv)).astype(x.dtype)
 
 
+_MOMENTUM_OVERRIDE: list = []  # trace-time stack (see override_momentum)
+
+
+class override_momentum:
+    """Trace-time context: force every BatchNorm's running-stat update
+    fraction. momentum=1.0 makes new_state = this batch's stats exactly —
+    the primitive behind BN recalibration (training/trainer.py
+    recalibrate_bn): with the reference's momentum=0.001
+    (/root/reference/model_utils.py:132) running stats move 0.1%/step, so a
+    from-scratch run's eval-mode stats stay near their (0,1) init for
+    thousands of steps; the reference never notices because it always starts
+    from Kinetics/SoundNet checkpoints that carry real stats."""
+
+    def __init__(self, momentum: float):
+        self.momentum = momentum
+
+    def __enter__(self):
+        _MOMENTUM_OVERRIDE.append(self.momentum)
+        return self
+
+    def __exit__(self, *exc):
+        _MOMENTUM_OVERRIDE.pop()
+        return False
+
+
 def batchnorm_train(
     params: dict, state: dict, x: jax.Array, *, eps: float, momentum: float
 ) -> tuple[jax.Array, dict]:
     """Training-mode batchnorm: normalize with batch stats (biased variance),
     update running stats with torch's convention (unbiased variance,
     new = (1-momentum)*old + momentum*batch). Returns (y, new_state)."""
+    if _MOMENTUM_OVERRIDE:
+        momentum = _MOMENTUM_OVERRIDE[-1]
     xf = x.astype(jnp.float32)
     reduce_axes = tuple(range(x.ndim - 1))  # all but channel
     n = 1

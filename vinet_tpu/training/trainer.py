@@ -92,6 +92,45 @@ def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransf
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_bn_stats_fn(model) -> Callable:
+    """Jitted (params, state, clip[, audio]) -> per-batch BN statistics:
+    a train-mode forward under override_momentum(1.0), so the returned state
+    holds exactly this batch's mean / unbiased variance for every BN."""
+    from vinet_tpu.ops.norm import override_momentum
+
+    @jax.jit
+    def stats(params, state, clip, audio=None):
+        with override_momentum(1.0):
+            if audio is not None:
+                _, new_state = model.apply(params, state, clip, audio, train=True)
+            else:
+                _, new_state = model.apply(params, state, clip, train=True)
+        return new_state
+
+    return stats
+
+
+def recalibrate_bn(model, params, state, batches, *, stats_fn=None) -> dict:
+    """Replace BN running stats with the AVERAGE batch statistics over
+    `batches` (an iterable of {"clip": ..., optional "audio": ...} device
+    batches) — the standard fix for from-scratch training where torch-parity
+    momentum=0.001 leaves running stats at their init for thousands of steps
+    (see ops/norm.py::override_momentum). Cumulative mean over batches;
+    returns the new state (other state leaves pass through)."""
+    stats_fn = stats_fn or make_bn_stats_fn(model)
+    acc = None
+    n = 0
+    for b in batches:
+        s = stats_fn(params, state, b["clip"],
+                     *((b["audio"],) if "audio" in b else ()))
+        n += 1
+        if acc is None:
+            acc = s
+        else:
+            acc = jax.tree_util.tree_map(lambda a, v: a + (v - a) / n, acc, s)
+    return acc if acc is not None else state
+
+
 def make_eval_step(model, loss_cfg: LossConfig) -> Callable:
     """Jitted eval: forward in eval mode + loss/cc/sim at model resolution.
     (The reference's validate() additionally resizes to native GT size on the
