@@ -399,25 +399,28 @@ def bench_train(batch, iters):
 
 
 def bench_full(batch, iters):
-    """Headline: per-frame saliency emission rate of the sliding-window
-    production workload (generate_result semantics) using the streaming
-    encoder — the same maps/s unit as the reference's "real-time (60 fps)"
-    claim (/root/reference/README.md:27). The reference-exact per-window
-    batch mode is reported alongside as parity_windows_fps; the streaming
-    mode's window-edge padding differs from the reference (measured map
-    deltas documented in NOTES.md / tests/test_streaming.py)."""
-    stream = bench_streaming(batch, iters)
+    """Headline: REFERENCE-EXACT sliding-window throughput (one full-window
+    forward per emitted map, generate_result semantics,
+    /root/reference/generate_result.py:58-73) — the same function as the
+    reference's "real-time (60 fps)" claim, so vs_baseline is like-for-like.
+
+    The --streaming encoder (backbone amortized across overlapping windows)
+    is reported alongside as streaming_maps_per_s: it is SEVERAL TIMES
+    faster but NOT output-equivalent — under trained weights on structured
+    video its maps score CC ~0.53 vs ground truth where parity scores ~0.80
+    (scripts/exp_streaming_trained.py, NOTES.md round 3), so it is an
+    opt-in mode, not the headline."""
     parity = bench_vinet(batch, iters)
-    out = dict(stream)
+    stream = bench_streaming(batch, iters)
+    out = dict(parity)
     out["metric"] = "vinet_saliency_fps_per_chip"
-    out["mode"] = "streaming_sliding_window"
-    out["parity_windows_fps"] = parity["value"]
-    out["p50_latency_ms_b1"] = parity["p50_latency_ms_b1"]
-    out["p50_device_ms_b1"] = parity["p50_device_ms_b1"]
-    if "mfu" in parity:
-        out["parity_mfu"] = parity["mfu"]
-        out["parity_flops_per_item_g"] = parity["flops_per_item_g"]
-    if parity.get("linearity_warn"):
+    out["mode"] = "parity_sliding_window"
+    out["streaming_maps_per_s"] = stream["value"]
+    if "mfu" in stream:
+        out["streaming_mfu"] = stream["mfu"]
+        out["streaming_flops_per_item_g"] = stream["flops_per_item_g"]
+    out["streaming_equivalent"] = False
+    if stream.get("linearity_warn"):
         out["linearity_warn"] = True
     return out
 

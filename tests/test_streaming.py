@@ -107,8 +107,13 @@ def test_predictor_covers_all_frames_and_matches_parity(setup):
     ref = dict(pp.predict_video(frames))
     assert sorted(ref) == list(range(n_frames))
 
-    # padding-semantics delta only: bounded, and tiny away from warmup
+    # padding-semantics delta only: bounded, and tiny away from warmup.
+    # Interior frames (normal windows, full real context) are pinned at
+    # <= 1e-2; warmup frames (time-flipped clips whose reversed-chunk
+    # context differs more) keep the loose bound.
     diffs = [np.abs(got[i] - ref[i]).max() for i in range(n_frames)]
+    interior = max(diffs[T - 1:])
+    assert interior < 1e-2, interior
     assert max(diffs) < 0.1, max(diffs)
 
 

@@ -45,9 +45,13 @@ def build_parser():
                         "first frame (Hollywood/UCF semantics) instead of skipping")
     p.add_argument("--streaming", action="store_true",
                    help="whole-video streaming encoder: computes the backbone "
-                        "once per chunk instead of per window (several x "
-                        "faster; window-edge padding semantics differ from "
-                        "parity mode — see inference/streaming.py)")
+                        "once per chunk instead of per window (~3x faster but "
+                        "NOT output-equivalent: windows see real temporal "
+                        "neighbors instead of the reference's zero padding. "
+                        "Measured on a trained model: CC-vs-GT 0.53 vs the "
+                        "default mode's 0.80 on a tracking fixture — see "
+                        "NOTES.md round 3 before using for benchmark "
+                        "submissions)")
     p.add_argument("--chunk", type=int, default=128,
                    help="streaming chunk length in frames (multiple of 8)")
     p.add_argument("--data_parallel", action="store_true",

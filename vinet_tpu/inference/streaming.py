@@ -28,6 +28,14 @@ convs at every window boundary; streaming features see the real neighboring
 frames (and zero-padding only at chunk edges). tests/test_streaming.py pins
 the timeline math exactly (interior of a long parity window == timeline) and
 bounds the end-to-end map delta; CLI exposure is the opt-in --streaming flag.
+
+ACCURACY COST (measured, round 3): a model TRAINED on zero-padded windows is
+miscalibrated for real-neighbor features. On a trained 224x384 tracking
+fixture the streaming maps score CC 0.53 / SIM 0.087 / NSS 8.8 against
+ground truth where parity maps score CC 0.79 / SIM 0.155 / NSS 14.0
+(mode-agreement CC 0.88; scripts/exp_streaming_trained.py). Streaming is a
+speed-accuracy tradeoff, not a free speedup — the bench headline is the
+parity mode.
 """
 
 from __future__ import annotations
