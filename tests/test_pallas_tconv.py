@@ -17,7 +17,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("merged", [False, True])
+@pytest.mark.parametrize("merged", [False, True, "concat"])
 @pytest.mark.parametrize("case", CASES)
 def test_interpret_parity(case, merged):
     t, h, w_, c, cout, k, st, pad = case
@@ -29,6 +29,33 @@ def test_interpret_parity(case, merged):
                             merged=merged, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("case", [c for c in CASES if c[6] == 2 and c[5] > 2])
+def test_pair_formulation(case, monkeypatch):
+    """Frame-pair kernel (two output frames packed into the 128 MXU output
+    lanes): exact vs XLA, including gradients through its custom VJP."""
+    from vinet_tpu.ops.pallas_tconv import temporal_conv3d
+
+    monkeypatch.setenv("VINET_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VINET_PALLAS_TCONV", "pair")
+    t, h, w_, c, cout, k, st, pad = case
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, t, h, w_, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, 1, 1, c, cout)) * 0.1, jnp.float32)
+    ref = _xla_tconv(x, w, st, pad)
+    out = temporal_conv3d(x, w, stride=st, pad=pad)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def loss_pair(x_, w_):
+        return jnp.sum(temporal_conv3d(x_, w_, stride=st, pad=pad) ** 2)
+
+    gx_p, gw_p = jax.grad(loss_pair, argnums=(0, 1))(x, w)
+    monkeypatch.setenv("VINET_PALLAS_TCONV", "0")
+    gx_r, gw_r = jax.grad(loss_pair, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-4, atol=1e-4)
 
 
 def test_custom_vjp_grads_match_xla(monkeypatch):

@@ -104,9 +104,17 @@ def conv3d(
     # temporal (k,1,1) convs stay 3-D (2-D fold measured 7x worse @28x48).
     if _lower_spatial_to_2d(x.shape, w.shape) and kt == 1 and stride[0] == 1 and pad[0] == 0:
         b, t, h, ww, c = x.shape
+        x2, w2 = x.reshape(b * t, h, ww, c), w[0]
+        if c == 3 and os.environ.get("VINET_CIN4", "1") == "1":
+            # Pad RGB to 4 channels (zero channel x zero weights — exact):
+            # XLA's 2-D conv path runs the 224x384 stem 28% faster at Cin=4
+            # than Cin=3 (1.50 vs 2.09 ms on the streaming timeline,
+            # scripts/exp_stem_r3.py).
+            x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, 0), (0, 1)))
+            w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, 1), (0, 0)))
         out = conv_f32acc(
-            x.reshape(b * t, h, ww, c),
-            w[0].astype(x.dtype),
+            x2,
+            w2.astype(x.dtype),
             strides=stride[1:],
             padding=[(pad[1], pad[1]), (pad[2], pad[2])],
             dn=("NHWC", "HWIO", "NHWC"),
