@@ -117,6 +117,47 @@ def test_predictor_covers_all_frames_and_matches_parity(setup):
     assert max(diffs) < 0.1, max(diffs)
 
 
+def test_tsharded_pyramid_matches_unsharded(setup):
+    """Temporal-axis sharding (SURVEY §5 long-context extension): the
+    chunk's T axis sharded over 2 CPU-mesh devices with ppermute halo
+    exchange == the unsharded streaming pyramid away from the GLOBAL chunk
+    edges (where the two zero-padding formulations legitimately differ —
+    see streaming_pyramid_tsharded's docstring); in particular the
+    device-boundary region in the chunk middle is exact, pinning
+    TEMPORAL_HALO as a sufficient receptive-radius bound."""
+    from vinet_tpu.inference.streaming import (TEMPORAL_HALO,
+                                               streaming_pyramid_tsharded)
+    from vinet_tpu.parallel import create_mesh
+
+    model, params, state, _ = setup
+    assert len(jax.devices()) >= 2
+    mesh = create_mesh(jax.devices()[:2])
+    n = 128  # 64-frame segments >= the 56-frame halo
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, n, *HW, 3), jnp.float32)
+    ref = streaming_pyramid(params["backbone"], state["backbone"], x)
+    got = streaming_pyramid_tsharded(params["backbone"], state["backbone"],
+                                     x, mesh)
+    for r, g, f in zip(ref, got, (8, 4, 2, 2)):
+        assert g.shape == r.shape
+        edge = max(TEMPORAL_HALO // f // 8, 4)  # global-edge exclusion
+        np.testing.assert_allclose(np.asarray(g)[:, edge:-edge],
+                                   np.asarray(r)[:, edge:-edge],
+                                   rtol=1e-4, atol=1e-4)
+        # edges bounded (zero-frame vs per-layer padding difference)
+        assert float(np.max(np.abs(np.asarray(g) - np.asarray(r)))) < 0.1
+
+
+def test_tsharded_rejects_short_segments(setup):
+    from vinet_tpu.inference.streaming import streaming_pyramid_tsharded
+    from vinet_tpu.parallel import create_mesh
+
+    model, params, state, _ = setup
+    mesh = create_mesh(jax.devices()[:8])
+    x = jnp.zeros((1, 64, *HW, 3), jnp.float32)  # 8-frame segments < halo
+    with pytest.raises(AssertionError):
+        streaming_pyramid_tsharded(params["backbone"], state["backbone"], x, mesh)
+
+
 def test_predictor_short_video_skipped():
     model = ViNet(num_hier=3, clip_size=T)
     params, state = model.init(jax.random.PRNGKey(0))

@@ -133,6 +133,75 @@ def streaming_pyramid(params, state, x, *, train=False):
     return y0, y1, y2, y3
 
 
+TEMPORAL_HALO = 56  # dense-mode temporal receptive radius of the S3D
+# backbone in input frames, rounded up to the /8 phase alignment:
+# stem conv_t r3 + sep192_t 2 + base2 4 + maxp3 2 + base3 20 + maxt4 4
+# + base4 16 = 51 (each at its own temporal resolution, expressed in input
+# frames). Pinned empirically by tests/test_streaming.py::test_tsharded.
+
+
+def streaming_pyramid_tsharded(params, state, x, mesh, *, axis: str = "data",
+                               halo: int = TEMPORAL_HALO):
+    """Timeline pyramid with the chunk's TIME axis sharded over a mesh axis
+    — the SURVEY §5 long-context extension (the reference scales clips by
+    architecture variant only; here a long chunk's backbone runs
+    data-parallel over ICI).
+
+    x: (1, N, H, W, 3); N must divide into 8-aligned per-device segments no
+    shorter than `halo`. Each device ppermutes its edge frames to its
+    neighbors (halo exchange, 2 collectives), runs the UNCHANGED
+    streaming_pyramid on its halo-extended segment, and keeps its own
+    trimmed slice. Redundant-halo design: for the intended regime
+    (segment >> halo, e.g. N=1024 on 8 devices) the duplicated compute is
+    ~2x per device for an 8x parallel width, and the whole backbone stack
+    is reused verbatim rather than re-deriving per-layer exchanges.
+
+    Semantics: EXACT equal to streaming_pyramid everywhere except within
+    each level's (small) receptive radius of the GLOBAL chunk edges: the
+    unsharded path zero-pads each temporal conv at the chunk boundary
+    (zeroing out-of-chunk activations at EVERY layer), while the edge
+    devices here zero-pad the INPUT frames, so real content bleeds a few
+    positions into the boundary region through each conv's reach (measured:
+    y3/y2 differ at the outermost 1-3 timeline positions, y1/y0 at none —
+    tests/test_streaming.py::test_tsharded). Chunk-edge padding is itself a
+    streaming-mode artifact, so both are equally (ap)proximate there."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    n = x.shape[1]
+    seg = n // n_dev
+    assert n % n_dev == 0 and seg % 8 == 0, (n, n_dev)
+    assert seg >= halo, (
+        f"per-device segment {seg} shorter than the halo {halo}: "
+        f"temporal sharding needs chunks >= {halo * n_dev} frames on "
+        f"{n_dev} devices (it is a long-context extension)")
+    assert halo % 8 == 0, halo
+
+    def seg_fn(x_seg):
+        idx = jax.lax.axis_index(axis)
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        left = jax.lax.ppermute(x_seg[:, -halo:], axis, fwd)
+        right = jax.lax.ppermute(x_seg[:, :halo], axis, bwd)
+        left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+        right = jnp.where(idx == n_dev - 1, jnp.zeros_like(right), right)
+        xe = jnp.concatenate([left, x_seg, right], axis=1)
+        pyr = streaming_pyramid(params, state, xe)
+        return tuple(
+            y[:, halo // f : (halo + seg) // f]
+            for y, f in zip(pyr, (8, 4, 2, 2)))
+
+    shards = shard_map(
+        seg_fn, mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=tuple(P(None, axis) for _ in range(4)),
+    )(x)
+    return shards
+
+
 def gather_windows(timelines, starts, clip_size: int = 32):
     """Per-window pyramid slices from phase timelines. starts: (Bw,) int32
     window start frames. Returns [y0, y1, y2, y3] batched over windows."""
