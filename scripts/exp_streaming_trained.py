@@ -146,7 +146,7 @@ def _predict_all(pred, frames):
     return {i: m for i, m in pred.predict_video(frames)}
 
 
-def stage_eval(workdir, n_frames, dtype_name):
+def stage_eval(workdir, n_frames, dtype_name, weights=None, label=None):
     import jax.numpy as jnp
 
     from vinet_tpu.inference import SlidingWindowPredictor
@@ -159,7 +159,7 @@ def stage_eval(workdir, n_frames, dtype_name):
     import jax
 
     enable_compilation_cache()
-    weights = os.path.join(workdir, "vinet_blob_best.npz")
+    weights = weights or os.path.join(workdir, "vinet_blob_best.npz")
     model = ViNet(num_hier=3, clip_size=CLIP)
     params, state = model.init(jax.random.PRNGKey(0))
     params, state = load_npz_tree(weights, params, state)
@@ -200,7 +200,8 @@ def stage_eval(workdir, n_frames, dtype_name):
         }
         rows.append(row)
     out = {"stage": "eval", "dtype": dtype_name, "n_frames": n_frames,
-           "geometry": f"clip{CLIP}/{H}x{W}", "videos": rows}
+           "geometry": f"clip{CLIP}/{H}x{W}", "videos": rows,
+           "weights": os.path.basename(weights), **({"label": label} if label else {})}
     print(json.dumps(out), flush=True)
     print("| video | parity CC/SIM/NSS vs GT | streaming CC/SIM/NSS vs GT "
           "| GT-CC delta | mode agreement CC (SIM) |", flush=True)

@@ -72,6 +72,18 @@ def build_parser():
                         " — 2x MXU rate; loss-curve parity tested")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed and shard the data loaders per host")
+    p.add_argument("--streaming_ft", action="store_true",
+                   help="streaming-consistent FINE-TUNE: train through the "
+                        "--streaming inference forward (timeline encoder + "
+                        "window gather + decoder) on contiguous chunks, so "
+                        "streaming inference is in-distribution. Requires "
+                        "--load_weight (BN statistics are frozen); DHF1K "
+                        "layout, visual-only models. See "
+                        "training/streaming_ft.py.")
+    p.add_argument("--ft_chunk", type=int, default=64,
+                   help="--streaming_ft chunk length (frames, %%8==0)")
+    p.add_argument("--ft_windows", type=int, default=16,
+                   help="--streaming_ft loss windows per chunk step")
     add_model_args(p)
     return p
 
@@ -101,9 +113,119 @@ def make_datasets(args):
     return train, val
 
 
+def run_streaming_ft(args) -> int:
+    """--streaming_ft loop: chunk batches through the streaming forward
+    (training/streaming_ft.py). Single-host; BN frozen; best-val npz saved
+    like the main loop."""
+    from vinet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vinet_tpu.cli.common import build_model, load_weights
+    from vinet_tpu.data import ChunkDataset, Loader, device_preprocess
+    from vinet_tpu.io.convert import save_npz_tree
+    from vinet_tpu.training import LossConfig
+    from vinet_tpu.training.streaming_ft import (
+        eval_window_starts,
+        make_streaming_ft_step,
+        make_streaming_eval_step,
+        sample_window_starts,
+    )
+    from vinet_tpu.training.trainer import AverageMeter, adam, init_train_state
+
+    assert not getattr(args, "use_sound", False), \
+        "--streaming_ft supports visual-only models (ViNet)"
+    assert args.ft_chunk % 8 == 0 and args.ft_chunk >= args.clip_size
+    if not (args.load_weight or args.file_weight):
+        print("warning: --streaming_ft without --load_weight fine-tunes "
+              "random init with FROZEN BN statistics — this is almost "
+              "certainly not what you want", flush=True)
+
+    model = build_model(args)
+    loss_cfg = LossConfig(
+        kldiv=args.kldiv, cc=args.cc, sim=args.sim, nss=args.nss, l1=args.l1,
+        kldiv_coeff=args.kldiv_coeff, cc_coeff=args.cc_coeff,
+        sim_coeff=args.sim_coeff, nss_coeff=args.nss_coeff, l1_coeff=args.l1_coeff,
+    )
+    train_loader = Loader(ChunkDataset(args.train_path_data, args.ft_chunk),
+                          batch_size=1, shuffle=True,
+                          num_workers=args.no_workers, seed=0)
+    val_loader = (Loader(ChunkDataset(args.val_path_data, args.ft_chunk, mode="val"),
+                         batch_size=1, shuffle=False,
+                         num_workers=args.no_workers, drop_last=False)
+                  if args.val_path_data else None)
+
+    optimizer = adam(args.lr)
+    ts = init_train_state(model, jax.random.PRNGKey(0), optimizer)
+    for w in (args.file_weight, args.load_weight):
+        if w:
+            params, state = load_weights(w, model, ts["params"], ts["state"])
+            ts = dict(ts, params=params, state=state, opt_state=optimizer.init(params))
+
+    step_fn = make_streaming_ft_step(
+        model, loss_cfg, optimizer, clip_size=args.clip_size,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    eval_fn = make_streaming_eval_step(model, loss_cfg, clip_size=args.clip_size)
+    val_starts = jnp.asarray(
+        eval_window_starts(args.ft_windows, args.ft_chunk, args.clip_size))
+
+    def to_batch(host, starts):
+        chunk = device_preprocess(jnp.asarray(host["clip"]))
+        gt = jnp.asarray(host["gts"][0][np.asarray(starts) + args.clip_size - 1],
+                         jnp.float32)
+        return {"chunk": chunk, "gt": gt, "starts": jnp.asarray(starts)}
+
+    best_loss = float("inf")
+    for epoch in range(args.no_epochs):
+        tic = time.time()
+        rng = np.random.default_rng((1234, epoch))
+        total, cur = AverageMeter(), AverageMeter()
+        for idx, host in enumerate(train_loader):
+            if args.max_steps_per_epoch and idx >= args.max_steps_per_epoch:
+                break
+            starts = sample_window_starts(
+                rng, args.ft_windows, args.ft_chunk, args.clip_size)
+            ts, metrics = step_fn(ts, to_batch(host, starts))
+            loss = float(metrics["loss"])
+            total.update(loss)
+            cur.update(loss)
+            if idx % args.log_interval == args.log_interval - 1:
+                print("[%2d, %5d] avg_loss : %.5f, time:%3f minutes"
+                      % (epoch, idx, cur.avg, (time.time() - tic) / 60), flush=True)
+                cur.reset()
+        print("[%2d, train] avg_loss : %.5f" % (epoch, total.avg), flush=True)
+
+        if val_loader is not None:
+            vl, vc, vs = AverageMeter(), AverageMeter(), AverageMeter()
+            for host in val_loader:
+                m = eval_fn(ts, to_batch(host, val_starts))
+                vl.update(float(m["loss"]))
+                vc.update(float(m["cc"]))
+                vs.update(float(m["sim"]))
+            print("[%2d, val] avg_loss : %.5f cc_loss : %.5f sim_loss : %.5f, time : %3f"
+                  % (epoch, vl.avg, vc.avg, vs.avg, (time.time() - tic) / 60),
+                  flush=True)
+            val_loss = vl.avg
+        else:
+            val_loss = total.avg
+
+        if val_loss <= best_loss:
+            best_loss = val_loss
+            print("[%2d,  save, %s]" % (epoch, args.model_val_path), flush=True)
+            host_ts = jax.device_get(ts)
+            save_npz_tree(args.model_val_path, host_ts["params"], host_ts["state"])
+    return 0
+
+
 def run(args) -> int:
     from vinet_tpu.utils import enable_compilation_cache
     from vinet_tpu.utils.runtime import init_distributed
+
+    if getattr(args, "streaming_ft", False):
+        return run_streaming_ft(args)
 
     enable_compilation_cache()
     rank, world = (init_distributed() if args.multihost else (0, 1))

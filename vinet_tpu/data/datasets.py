@@ -116,6 +116,46 @@ class DHF1KDataset:
         return item
 
 
+class ChunkDataset:
+    """DHF1K-layout contiguous-CHUNK sampler for streaming-consistent
+    fine-tuning (training/streaming_ft.py): one random (train) / centered
+    deterministic (val) run of `chunk_len` model-sized frames per video,
+    with the GT map for EVERY chunk frame so any window's last-frame target
+    is available. Videos shorter than chunk_len are skipped. No reference
+    counterpart — the reference has no streaming training.
+
+    Item: {"clip": (N,H,W,3) uint8, "gts": (N,224,384) f32}."""
+
+    def __init__(self, path_data, chunk_len, mode="train"):
+        self.path_data = path_data
+        self.chunk_len = chunk_len
+        self.mode = mode
+        self.items = []
+        for v in sorted(os.listdir(path_data)):
+            n = len(os.listdir(join(path_data, v, "images")))
+            if n >= chunk_len:
+                self.items.append((v, n))
+        assert self.items, f"no videos with >= {chunk_len} frames under {path_data}"
+
+    def __len__(self):
+        return len(self.items)
+
+    def get(self, idx, rng: np.random.Generator):
+        name, n = self.items[idx]
+        if self.mode == "train":
+            start = int(rng.integers(0, n - self.chunk_len + 1))
+        else:
+            start = (n - self.chunk_len) // 2
+        clip, gts = [], []
+        for i in range(self.chunk_len):
+            fno = start + i + 1
+            frame, _ = load_frame(join(self.path_data, name, "images", "%04d.png" % fno))
+            clip.append(frame)
+            gts.append(load_map(join(self.path_data, name, "maps", "%04d.png" % fno),
+                                size=(224, 384)))
+        return {"clip": np.stack(clip), "gts": np.stack(gts)}
+
+
 class HollywoodUCFDataset:
     """Hollywood-2 / UCF-Sports layout (sorted file lists rather than fixed
     numbering); short videos left-padded by repeating the first frame
