@@ -341,6 +341,76 @@ def bench_avstream(batch, iters):
     return out
 
 
+def bench_live(batch, iters):
+    """Device-side steady-state rate of the LIVE incremental server
+    (inference/live.py): per 16-frame microbatch, one overlap-save segment
+    advance (extends the dense phase timelines) + one decode(16) + post.
+    This is the per-frame-latency serving mode (constant ~57-frame
+    architectural lag) — no offline counterpart in the reference. Host
+    frame upload excluded (device-resident microbatch, fenced)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vinet_tpu.inference.live import LiveStreamingPredictor
+    from vinet_tpu.models import ViNet
+
+    micro = 16
+    model = ViNet(num_hier=3, clip_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    live = LiveStreamingPredictor(model, params, state, clip_size=32,
+                                  batch=micro, micro=micro, span=224)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (live.span + micro, 224, 384, 3)).astype(np.uint8)
+    for lo in range(0, live.span + micro, micro):  # builds _dev + jitted fns
+        for _ in live.feed(frames[lo:lo + micro]):
+            pass
+
+    advance = live._advance_fn()
+    decode = live._decode_fn()
+    post = live._post_fn(live._out_hw, False)
+    frames_dev = jnp.asarray(frames[:micro])
+    starts = jnp.arange(micro, dtype=jnp.int32)
+    dev = live._dev
+
+    def step(dev_):
+        tails, bufs = advance(dev_[0], dev_[1], frames_dev)
+        v = {k: bufs[k][:, off:] for k, off in live._VIEW_OFF.items() if k in bufs}
+        timelines = (v["y0"], v["y1"], v["y2"], v["y3"])
+        dense = ((v["c1u"], v["c2y"], v["c3y"], v["c4y"])
+                 if live._use_v2() else None)
+        return (tails, bufs), post(decode(timelines, dense, starts))
+
+    fence = _fence_fn()
+    readback = _readback_baseline(fence)
+    dev, out0 = step(dev)
+    fence(out0)
+    rates = []
+    for k in (iters, 2 * iters):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            dev, out = step(dev)
+        fence(out)
+        dt = max(time.perf_counter() - t0 - readback, 1e-9)
+        rates.append(micro * k / dt)
+    warn = abs(rates[0] - rates[1]) / max(rates) > 0.15
+    out = {
+        "metric": "vinet_live_maps_per_s_per_chip",
+        "value": round(min(rates), 1),
+        "unit": "maps/s",
+        "vs_baseline": round(min(rates) / 60.0, 2),
+        "micro": micro,
+        "steady_ms_per_micro": round(1e3 * micro / min(rates), 2),
+        "pipeline_lag_frames": 57 + micro,
+        "dtype": "bfloat16",
+        "device": str(jax.devices()[0]),
+    }
+    if warn:
+        out["linearity_warn"] = True
+    return out
+
+
 def bench_train(batch, iters):
     import jax
     import jax.numpy as jnp
@@ -406,10 +476,12 @@ def bench_full(batch, iters):
 
     The --streaming encoder (backbone amortized across overlapping windows)
     is reported alongside as streaming_maps_per_s: it is SEVERAL TIMES
-    faster but NOT output-equivalent — under trained weights on structured
-    video its maps score CC ~0.53 vs ground truth where parity scores ~0.80
-    (scripts/exp_streaming_trained.py, NOTES.md round 3), so it is an
-    opt-in mode, not the headline."""
+    faster but NOT output-equivalent — a parity-trained checkpoint served
+    through it scores CC ~0.53 vs ground truth where parity scores ~0.80.
+    Streaming-consistent fine-tuning (train.py --streaming_ft) recovers
+    most of that (CC 0.76 streaming / 0.83 parity, same checkpoint) but
+    the semantics remain a different function, so parity stays the
+    headline (scripts/exp_streaming_{trained,ft}.py, NOTES.md round 3)."""
     parity = bench_vinet(batch, iters)
     stream = bench_streaming(batch, iters)
     out = dict(parity)
@@ -435,7 +507,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20" if mode != "train" else "5"))
     result = {"vinet": bench_vinet, "avinet": bench_avinet, "train": bench_train,
               "streaming": bench_streaming, "avstream": bench_avstream,
-              "full": bench_full}[mode](batch, iters)
+              "live": bench_live, "full": bench_full}[mode](batch, iters)
     print(json.dumps(result))
 
 

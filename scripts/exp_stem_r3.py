@@ -102,6 +102,29 @@ def main():
             preferred_element_type=jnp.float32)
         return jax.nn.relu(y + b_s).reshape(b, t, h // 2, w_ // 2, -1).astype(x.dtype)
 
+    # Output W-phase pairing: recast the (7,7)s2 Cout=64 conv as a (7,9)s(2,4)
+    # Cout=128 conv — outputs y[:,2v] (channels 0:64, taps kx=0..6) and
+    # y[:,2v+1] (channels 64:128, taps kx=2..8) share the 9-col input window
+    # starting at 4v-3. Fills the MXU's 128 output lanes (64-channel convs use
+    # half); K grows 7->9 cols but M halves: model cost ratio ~2x with Cin=4.
+    # The (…, W/2, 128) -> (…, W, 64) un-pairing reshape is free under (8,128)
+    # tiling (j-major channel order == W-phase order).
+    wpair = jnp.zeros((7, 9, 4, 128), jnp.float32)
+    wpair = wpair.at[:, 0:7, :, 0:64].set(w8[0])
+    wpair = wpair.at[:, 2:9, :, 64:128].set(w8[0])
+    b_s2 = jnp.concatenate([b_s, b_s])
+
+    def sp_wpair(x, wpairf):
+        b, t, h, w_, c = x.shape
+        x4 = jnp.pad(x, ((0, 0),) * 4 + ((0, 1),))
+        y = lax.conv_general_dilated(
+            x4.reshape(b * t, h, w_, 4), wpairf.astype(x.dtype),
+            window_strides=(2, 4), padding=[(3, 3), (3, 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = jax.nn.relu(y + b_s2)
+        return y.reshape(b, t, h // 2, w_ // 2, 64).astype(x.dtype)
+
     # im2col: k index order (dy, j, r, c); tap dx = 2j + r (dx=7 -> zero)
     wmat = jnp.pad(w7[0], ((0, 0), (0, 1), (0, 0), (0, 0)))  # dx 7 -> 8
     wmat = jnp.transpose(wmat.reshape(7, 4, 2, 3, 64), (0, 1, 2, 3, 4)).reshape(168, 64)
@@ -161,11 +184,33 @@ def main():
             preferred_element_type=jnp.float32)
         return jax.nn.relu(y + b_t).reshape(b, to, h, w_, c).astype(z.dtype)
 
+    # Output T-phase pairing (same idea along time): (7,1,1)s2 Cout=64 ->
+    # (9,1,1)s4 Cout=128; K 448->576 (ceil/128: 4->5), M halves => model
+    # ratio 8/5 = 1.6x. Un-pairing here needs a real transpose (T is not
+    # lane-adjacent): reshape+moveaxis, the measured-cheap phase-merge path.
+    wtpair = jnp.zeros((9, 1, 1, 64, 128), jnp.float32)
+    wtpair = wtpair.at[0:7, ..., 0:64].set(wt)
+    wtpair = wtpair.at[2:9, ..., 64:128].set(wt)
+    b_t2 = jnp.concatenate([b_t, b_t])
+
+    def t_pair(z, wtpf):
+        b, t, h, w_, c = z.shape
+        y = lax.conv_general_dilated(
+            z, wtpf.astype(z.dtype), window_strides=(4, 1, 1),
+            padding=[(3, 3), (0, 0), (0, 0)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        y = jax.nn.relu(y + b_t2)
+        u = y.shape[1]
+        y = jnp.moveaxis(y.reshape(b, u, h, w_, 2, c), 4, 2)
+        return y.reshape(b, 2 * u, h, w_, c).astype(z.dtype)
+
     spatial = {"sp_c3d": (sp_c3d, w7), "sp_c2d": (sp_c2d, w7),
                "sp_s2d2d": (sp_s2d2d, w12), "sp_s2d3d": (sp_s2d3d, w12),
-               "sp_cin4": (sp_cin4, w8), "sp_im2col": (sp_im2col, wmat)}
+               "sp_cin4": (sp_cin4, w8), "sp_im2col": (sp_im2col, wmat),
+               "sp_wpair": (sp_wpair, wpair)}
     temporal = {"t_pallas": (t_pallas, wt), "t_c3d": (t_c3d, wt),
-                "t_concat": (t_concat, wt)}
+                "t_concat": (t_concat, wt), "t_pair": (t_pair, wtpair)}
 
     if args.check:
         x = jax.random.normal(k5, (1, 8, 224, 384, 3), jnp.float32)
@@ -237,12 +282,15 @@ def main():
                   ("s2d2d+pallas", "sp_s2d2d", "t_pallas"),
                   ("im2col+pallas", "sp_im2col", "t_pallas"),
                   ("s2d2d+concat", "sp_s2d2d", "t_concat"),
-                  ("im2col+concat", "sp_im2col", "t_concat")]
+                  ("im2col+concat", "sp_im2col", "t_concat"),
+                  ("wpair+tpair", "sp_wpair", "t_pair"),
+                  ("wpair+c3d", "sp_wpair", "t_c3d"),
+                  ("cin4+tpair", "sp_cin4", "t_pair")]
         for cname, sname, tname in combos:
             sfn, sw = spatial[sname]
             tfn, tw = temporal[tname]
 
-            def full(xx, swf=sw, twf=wt, sfn=sfn, tfn=tfn):
+            def full(xx, swf=sw, twf=tw, sfn=sfn, tfn=tfn):
                 return tfn(sfn(xx, swf.astype(xx.dtype)), twf.astype(xx.dtype))
 
             try:

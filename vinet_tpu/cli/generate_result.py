@@ -49,8 +49,11 @@ def build_parser():
                         "NOT output-equivalent: windows see real temporal "
                         "neighbors instead of the reference's zero padding. "
                         "Measured on a trained model: CC-vs-GT 0.53 vs the "
-                        "default mode's 0.80 on a tracking fixture — see "
-                        "NOTES.md round 3 before using for benchmark "
+                        "default mode's 0.80 on a tracking fixture. "
+                        "Fine-tune the checkpoint with train.py "
+                        "--streaming_ft first: that recovers most of the gap "
+                        "(0.76 streaming / 0.83 parity, same checkpoint) — "
+                        "see NOTES.md round 3 before using for benchmark "
                         "submissions)")
     p.add_argument("--chunk", type=int, default=128,
                    help="streaming chunk length in frames (multiple of 8)")
