@@ -341,46 +341,83 @@ def bench_avstream(batch, iters):
     return out
 
 
-def bench_live(batch, iters):
+def _bench_live_impl(iters, av: bool):
     """Device-side steady-state rate of the LIVE incremental server
-    (inference/live.py): per 16-frame microbatch, one overlap-save segment
-    advance (extends the dense phase timelines) + one decode(16) + post.
-    This is the per-frame-latency serving mode (constant ~57-frame
-    architectural lag) — no offline counterpart in the reference. Host
-    frame upload excluded (device-resident microbatch, fenced)."""
+    (inference/live.py): per microbatch, one overlap-save segment advance
+    (extends the dense phase timelines) + decode in groups of the measured
+    decode optimum (16) + post. This is the per-frame-latency serving mode
+    (constant ~57-frame architectural lag + the microbatch) — no offline
+    counterpart in the reference. Host frame upload excluded
+    (device-resident microbatch, fenced). Microbatch tradeoff (BENCH_LIVE_
+    MICRO): the advance cost is nearly flat in micro (the segment tails'
+    receptive-diameter recompute dominates), so bigger micro = higher
+    throughput, +1 frame lag per frame of micro. AV adds per-window
+    SoundNet + bilinear fusion at decode (audio device-resident)."""
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    from vinet_tpu.inference.live import LiveStreamingPredictor
-    from vinet_tpu.models import ViNet
-
-    micro = 16
-    model = ViNet(num_hier=3, clip_size=32)
-    params, state = model.init(jax.random.PRNGKey(0))
-    live = LiveStreamingPredictor(model, params, state, clip_size=32,
-                                  batch=micro, micro=micro, span=224)
+    micro = int(os.environ.get("BENCH_LIVE_MICRO", "16"))
+    # decode batch decoupled from micro: 16 is the measured decode optimum
+    # (r2 batch sweep), and _decode_live groups windows by `batch` anyway
+    batch_d = int(os.environ.get("BENCH_LIVE_BATCH", str(min(16, micro))))
+    assert micro % batch_d == 0, (micro, batch_d)
+    span = max(224, ((96 + 32 + 2 * micro + 7) // 8) * 8)
     rng = np.random.default_rng(0)
+    if av:
+        from vinet_tpu.data.audio import MAX_AUDIO_FS
+        from vinet_tpu.inference.live import AVLiveStreamingPredictor
+        from vinet_tpu.models import AViNet
+
+        model = AViNet()
+        params, state = model.init(jax.random.PRNGKey(0))
+        live = AVLiveStreamingPredictor(
+            model, params, state, fps=30.0, clip_size=32, batch=batch_d,
+            micro=micro, span=span)
+        spf = MAX_AUDIO_FS / 30.0
+    else:
+        from vinet_tpu.inference.live import LiveStreamingPredictor
+        from vinet_tpu.models import ViNet
+
+        model = ViNet(num_hier=3, clip_size=32)
+        params, state = model.init(jax.random.PRNGKey(0))
+        live = LiveStreamingPredictor(model, params, state, clip_size=32,
+                                      batch=batch_d, micro=micro, span=span)
     frames = rng.integers(0, 255, (live.span + micro, 224, 384, 3)).astype(np.uint8)
     for lo in range(0, live.span + micro, micro):  # builds _dev + jitted fns
-        for _ in live.feed(frames[lo:lo + micro]):
+        kw = {}
+        if av:
+            kw["audio"] = 0.01 * rng.standard_normal(int(micro * spf)).astype(np.float32)
+        for _ in live.feed(frames[lo:lo + micro], **kw):
             pass
 
     advance = live._advance_fn()
     decode = live._decode_fn()
     post = live._post_fn(live._out_hw, False)
     frames_dev = jnp.asarray(frames[:micro])
-    starts = jnp.arange(micro, dtype=jnp.int32)
+    starts_groups = [jnp.arange(lo, lo + batch_d, dtype=jnp.int32)
+                     for lo in range(0, micro, batch_d)]
+    audio_dev = None
+    if av:
+        from vinet_tpu.data.audio import MAX_AUDIO_WIN
+
+        audio_dev = jnp.asarray(
+            0.01 * rng.standard_normal((batch_d, MAX_AUDIO_WIN, 1)).astype(np.float32))
     dev = live._dev
 
     def step(dev_):
         tails, bufs = advance(dev_[0], dev_[1], frames_dev)
         v = {k: bufs[k][:, off:] for k, off in live._VIEW_OFF.items() if k in bufs}
         timelines = (v["y0"], v["y1"], v["y2"], v["y3"])
-        dense = ((v["c1u"], v["c2y"], v["c3y"], v["c4y"])
+        dense = ((v.get("c1u"), v["c2y"], v["c3y"], v["c4y"])
                  if live._use_v2() else None)
-        return (tails, bufs), post(decode(timelines, dense, starts))
+        if av:
+            outs = [post(decode(timelines, dense, s, audio_dev))
+                    for s in starts_groups]
+        else:
+            outs = [post(decode(timelines, dense, s)) for s in starts_groups]
+        return (tails, bufs), outs[-1]
 
     fence = _fence_fn()
     readback = _readback_baseline(fence)
@@ -396,11 +433,12 @@ def bench_live(batch, iters):
         rates.append(micro * k / dt)
     warn = abs(rates[0] - rates[1]) / max(rates) > 0.15
     out = {
-        "metric": "vinet_live_maps_per_s_per_chip",
+        "metric": ("avinet" if av else "vinet") + "_live_maps_per_s_per_chip",
         "value": round(min(rates), 1),
         "unit": "maps/s",
         "vs_baseline": round(min(rates) / 60.0, 2),
         "micro": micro,
+        "decode_batch": batch_d,
         "steady_ms_per_micro": round(1e3 * micro / min(rates), 2),
         "pipeline_lag_frames": 57 + micro,
         "dtype": "bfloat16",
@@ -409,6 +447,14 @@ def bench_live(batch, iters):
     if warn:
         out["linearity_warn"] = True
     return out
+
+
+def bench_live(batch, iters):
+    return _bench_live_impl(iters, av=False)
+
+
+def bench_avlive(batch, iters):
+    return _bench_live_impl(iters, av=True)
 
 
 def bench_train(batch, iters):
@@ -494,6 +540,15 @@ def bench_full(batch, iters):
     out["streaming_equivalent"] = False
     if stream.get("linearity_warn"):
         out["linearity_warn"] = True
+    if os.environ.get("BENCH_FULL_LIVE", "1") != "0":
+        # the per-frame-latency serving mode (inference/live.py): between
+        # parity (full recompute/window) and chunked streaming (whole-chunk
+        # amortization); same window semantics as streaming
+        live = bench_live(batch, iters)
+        out["live_maps_per_s"] = live["value"]
+        out["live_steady_ms_per_micro"] = live["steady_ms_per_micro"]
+        if live.get("linearity_warn"):
+            out["linearity_warn"] = True
     return out
 
 
@@ -507,7 +562,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20" if mode != "train" else "5"))
     result = {"vinet": bench_vinet, "avinet": bench_avinet, "train": bench_train,
               "streaming": bench_streaming, "avstream": bench_avstream,
-              "live": bench_live, "full": bench_full}[mode](batch, iters)
+              "live": bench_live, "avlive": bench_avlive,
+              "full": bench_full}[mode](batch, iters)
     print(json.dumps(result))
 
 

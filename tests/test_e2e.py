@@ -103,6 +103,28 @@ def test_generate_cli_streaming(data_root, tmp_path):
     assert m.max() == 255
 
 
+def test_generate_cli_live(data_root, tmp_path):
+    """--live drives the incremental feed/flush server end-to-end over a
+    stored video; every frame still gets a native-size normalized map."""
+    from vinet_tpu.cli.generate_result import main
+
+    save = str(tmp_path / "maps_live")
+    rc = main([
+        "--path_indata", join(data_root, "val"),
+        "--save_path", save,
+        "--clip_size", "8", "--dtype", "float32",
+        "--live", "--live_micro", "16",
+    ])
+    assert rc == 0
+    written = sorted(os.listdir(join(save, "001")))
+    assert len(written) == 40
+    from PIL import Image
+
+    m = np.asarray(Image.open(join(save, "001", written[0])))
+    assert m.shape == (64, 96)
+    assert m.max() == 255
+
+
 def test_generate_cli_process_sharding(data_root, tmp_path):
     from vinet_tpu.cli.generate_result import main
 

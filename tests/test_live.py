@@ -108,6 +108,107 @@ def test_live_feed_granularity_invariance(setup):
         np.testing.assert_allclose(a[i], b[i], atol=1e-5)
 
 
+def _make_audio_info(n_frames, fps, fs, seed=11):
+    from vinet_tpu.data.audio import AudioInfo, frame_sample_ranges
+
+    rng = np.random.default_rng(seed)
+    n_samp = int((n_frames + 2) * fs / fps)
+    wav = (rng.standard_normal((1, n_samp)) * 0.01).astype(np.float32)
+    starts, ends = frame_sample_ranges(n_samp, n_frames, fs, fps)
+    return AudioInfo(wav=wav, fs=fs, starts=starts, ends=ends)
+
+
+def test_av_window_audio_matches_audio_excerpt():
+    """The live rolling-buffer excerpt must equal the offline
+    data/audio.py::audio_excerpt (same int truncation, Hanning, center-pad,
+    flip) — it is the same function over a different storage layout."""
+    from vinet_tpu.data.audio import audio_excerpt
+    from vinet_tpu.inference.live import AVLiveStreamingPredictor
+    from vinet_tpu.models import AViNet
+
+    n, fps, fs = 120, 29.97, 22050
+    info = _make_audio_info(n, fps, fs)
+    model = AViNet(input_hw=(64, 96))
+    params, state = model.init(jax.random.PRNGKey(0))
+    live = AVLiveStreamingPredictor(model, params, state, fps=fps,
+                                    audio_fs=fs, span=224)
+    live._samples = info.wav[0].copy()
+    live._samples_base = 0
+
+    starts = [0, 1, 5, 37, n - 32]
+    want = np.stack([audio_excerpt(info, 32, s) for s in starts])
+    got = np.asarray(live._window_audio(starts, flipped=False))
+    np.testing.assert_array_equal(got, want)
+    gotf = np.asarray(live._window_audio(starts, flipped=True))
+    np.testing.assert_array_equal(gotf, want[:, ::-1])
+    # batch-padding sentinel rows are zeros
+    pad = np.asarray(live._window_audio([3, -1], flipped=False))
+    assert pad[1].max() == 0.0
+
+
+def test_av_live_matches_chunked():
+    """AV live (overlap-save visual timelines + rolling audio buffer) must
+    reproduce AVStreamingPredictor's maps away from stream boundaries, with
+    the SAME per-window audio excerpts (fed incrementally)."""
+    from vinet_tpu.data.audio import audio_excerpt
+    from vinet_tpu.inference.live import AVLiveStreamingPredictor
+    from vinet_tpu.inference.streaming import AVStreamingPredictor
+    from vinet_tpu.models import AViNet
+
+    n, fps, fs = 200, 25.0, 22050
+    t = 32
+    info = _make_audio_info(n, fps, fs)
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 60, (n, 64, 96, 3)).astype(np.uint8)
+    for f in range(n):
+        cy = 6 + (f * 2) % 40
+        cx = 4 + (f * 3) % 70
+        frames[f, cy:cy + 10, cx:cx + 8] = 230
+
+    model = AViNet(input_hw=(64, 96))
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    audio_fn = lambda s: audio_excerpt(info, t, s)
+    chunked = {i: m for i, m in AVStreamingPredictor(
+        model, params, state, clip_size=t, batch=4, chunk=160,
+        dtype=jnp.float32).predict_video(frames, audio_fn=audio_fn)}
+
+    live = AVLiveStreamingPredictor(
+        model, params, state, fps=fps, audio_fs=fs, clip_size=t, batch=4,
+        micro=16, span=168, dtype=jnp.float32, warmup_chunk=160)
+    # feed audio in arbitrary-sized chunks alongside the frames
+    spf = fs / fps
+    got = []
+    for lo in range(0, n, 16):
+        a = info.wav[0, int(lo * spf): int((lo + 16) * spf)]
+        got.extend(live.feed(frames[lo:lo + 16], audio=a))
+    got.extend(live.feed(np.zeros((0, 64, 96, 3), np.uint8),
+                         audio=info.wav[0, int(n * spf):]))
+    got.extend(live.flush())
+
+    idxs = [i for i, _ in got]
+    assert idxs == sorted(idxs) and idxs == list(range(n))
+    live_maps = dict(got)
+
+    # warm-up: same flipped chunk pass + same flipped excerpts
+    for i in range(t - 1):
+        np.testing.assert_allclose(live_maps[i], chunked[i], atol=1e-5)
+
+    # steady interior (exclusions as in test_live_matches_chunked: stream
+    # start, the chunked predictor's own chunk seam, flush tail)
+    seam = 160
+    lo, hi = 96, n - 70
+    interior = [i for i in range(lo, hi) if not (seam - 16 <= i < seam)]
+    assert interior
+    diffs = np.array([float(np.abs(live_maps[i] - chunked[i]).max())
+                      for i in interior])
+    assert diffs.max() < 1e-4, diffs.max()
+
+    for i in range(t - 1, n):
+        m = live_maps[i]
+        assert np.isfinite(m).all() and 0.0 <= m.min() and m.max() <= 1.0
+
+
 def test_live_short_stream_skipped(setup):
     model, params, state, frames = setup
     live = LiveStreamingPredictor(

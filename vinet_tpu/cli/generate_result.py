@@ -57,6 +57,17 @@ def build_parser():
                         "submissions)")
     p.add_argument("--chunk", type=int, default=128,
                    help="streaming chunk length in frames (multiple of 8)")
+    p.add_argument("--live", action="store_true",
+                   help="drive the LIVE incremental server (inference/live.py)"
+                        ": frames are fed --live_micro at a time and each map "
+                        "is emitted with a constant ~57-frame pipeline lag — "
+                        "the serving mode for camera/broadcast sources, run "
+                        "here over stored frames to exercise it end-to-end. "
+                        "Same window-edge semantics as --streaming (fine-tune "
+                        "with --streaming_ft before benchmark use)")
+    p.add_argument("--live_micro", type=int, default=16,
+                   help="live microbatch (multiple of 8): smaller = lower "
+                        "latency, larger = higher throughput")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard window batches across all local devices over a "
                         "jax Mesh 'data' axis (exact; supersedes launching "
@@ -93,7 +104,18 @@ def run(args) -> int:
         from vinet_tpu.parallel import create_mesh
 
         mesh = create_mesh()
-    if args.streaming:
+    if args.live:
+        assert not (args.streaming or args.pad_short or mesh), \
+            "--live excludes --streaming/--pad_short/--data_parallel"
+        from vinet_tpu.inference.live import LiveStreamingPredictor
+
+        span = max(160, ((96 + args.clip_size + 2 * args.live_micro + 7) // 8) * 8)
+        predictor = LiveStreamingPredictor(
+            model, params, state, clip_size=args.clip_size,
+            batch=min(16, args.live_micro), micro=args.live_micro, span=span,
+            dtype=dtype,
+        )
+    elif args.streaming:
         from vinet_tpu.inference.streaming import StreamingPredictor
 
         predictor = StreamingPredictor(
@@ -105,6 +127,22 @@ def run(args) -> int:
             model, params, state, clip_size=args.clip_size,
             batch=args.window_batch, dtype=dtype, mesh=mesh,
         )
+
+    def emit_maps(clip_u8, out_size):
+        if args.live:
+            predictor.reset()
+            predictor.start(out_size=out_size,
+                            quantize_u8=not args.exact_quantize)
+            m = predictor.micro
+            for lo in range(0, len(clip_u8), m):
+                yield from predictor.feed(clip_u8[lo:lo + m])
+            yield from predictor.flush()
+        else:
+            yield from predictor.predict_video(
+                clip_u8, out_size=out_size, pad_short=args.pad_short,
+                # device u8 quantization: 4x smaller transfers (differs from
+                # host f64 by <=1/255 on ties; --exact_quantize opts out)
+                quantize_u8=not args.exact_quantize)
 
     videos = sorted(
         d for d in os.listdir(args.path_indata)
@@ -130,12 +168,7 @@ def run(args) -> int:
             orig_w, orig_h = decoded[0][1]
 
             futures = []
-            for frame_idx, smap in predictor.predict_video(
-                clip_u8, out_size=(orig_h, orig_w), pad_short=args.pad_short,
-                # device u8 quantization: 4x smaller transfers (differs from
-                # host f64 by <=1/255 on ties; --exact_quantize opts out)
-                quantize_u8=not args.exact_quantize,
-            ):
+            for frame_idx, smap in emit_maps(clip_u8, (orig_h, orig_w)):
                 # keep the frame's own filename/extension (reference img_save
                 # writes png as png, jpg at quality 100)
                 out_path = join(args.save_path, dname, frames[frame_idx])

@@ -50,6 +50,14 @@ def build_parser():
                         "timelines + per-window audio fusion (~same speedup "
                         "as generate_result --streaming; window-edge padding "
                         "semantics differ slightly from the reference)")
+    p.add_argument("--live", action="store_true",
+                   help="drive the LIVE incremental server (inference/live.py"
+                        " AVLiveStreamingPredictor): frames+audio samples fed "
+                        "--live_micro frames at a time, maps emitted with a "
+                        "constant ~57-frame pipeline lag — the serving mode "
+                        "for camera/broadcast AV sources, run here over "
+                        "stored videos to exercise it end-to-end")
+    p.add_argument("--live_micro", type=int, default=16)
     p.add_argument("--exact_quantize", action="store_true",
                    help="host f64 uint8 quantization (bit-exact reference "
                         "img_save rounding) instead of device f32")
@@ -84,7 +92,19 @@ def run(args) -> int:
         from vinet_tpu.parallel import create_mesh
 
         mesh = create_mesh()
-    if getattr(args, "streaming", False) and args.use_sound:
+    if getattr(args, "live", False):
+        assert not (getattr(args, "streaming", False) or mesh), \
+            "--live excludes --streaming/--data_parallel"
+        from vinet_tpu.inference.live import (AVLiveStreamingPredictor,
+                                              LiveStreamingPredictor)
+
+        span = max(160, ((96 + args.clip_size + 2 * args.live_micro + 7) // 8) * 8)
+        cls = AVLiveStreamingPredictor if args.use_sound else LiveStreamingPredictor
+        predictor = cls(
+            model, params, state, clip_size=args.clip_size,
+            batch=min(16, args.live_micro), micro=args.live_micro, span=span,
+            dtype=dtype)
+    elif getattr(args, "streaming", False) and args.use_sound:
         from vinet_tpu.inference.streaming import AVStreamingPredictor
 
         predictor = AVStreamingPredictor(
@@ -126,6 +146,31 @@ def run(args) -> int:
             gt_root=join(args.path_data, "annotations", args.dataset),
         )
 
+    def emit_maps(clip_u8, out_size, audio_fn, v_fps, wav):
+        if not getattr(args, "live", False):
+            yield from predictor.predict_video(
+                clip_u8, out_size=out_size, audio_fn=audio_fn,
+                quantize_u8=not args.exact_quantize)
+            return
+        predictor.reset()
+        kw = {"fps": v_fps} if args.use_sound else {}
+        predictor.start(out_size=out_size,
+                        quantize_u8=not args.exact_quantize, **kw)
+        m = predictor.micro
+        if args.use_sound and wav is not None:
+            # samples aligned to frames by cumulative count (stream clock)
+            spf = predictor.audio_fs / v_fps
+            for lo in range(0, len(clip_u8), m):
+                a = wav[int(lo * spf): int((lo + m) * spf)]
+                yield from predictor.feed(clip_u8[lo:lo + m], audio=a)
+            yield from predictor.feed(
+                np.zeros((0, *clip_u8.shape[1:]), np.uint8),
+                audio=wav[int(len(clip_u8) * spf):])
+        else:
+            for lo in range(0, len(clip_u8), m):
+                yield from predictor.feed(clip_u8[lo:lo + m])
+        yield from predictor.flush()
+
     n_maps = 0
     with ThreadPoolExecutor(max_workers=8) as pool:
         for v in videos:
@@ -140,15 +185,15 @@ def run(args) -> int:
             clip_u8 = np.stack([d[0] for d in decoded])
             orig_w, orig_h = decoded[0][1]
 
-            audio_fn = None
+            audio_fn, wav = None, None
             if args.use_sound:
                 info = audio_index.get(v)
                 audio_fn = lambda start, _info=info: audio_excerpt(_info, args.clip_size, start)
+                wav = info.wav[0] if info is not None else None
 
             futures = []
-            for frame_idx, smap in predictor.predict_video(
-                clip_u8, out_size=(orig_h, orig_w), audio_fn=audio_fn,
-                quantize_u8=not args.exact_quantize,
+            for frame_idx, smap in emit_maps(
+                clip_u8, (orig_h, orig_w), audio_fn, fps[v], wav,
             ):
                 out = join(args.save_path, v, os.path.splitext(frames[frame_idx])[0] + ".jpg")
                 futures.append(pool.submit(save_map, smap, out, normalize=True))

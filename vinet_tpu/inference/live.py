@@ -37,7 +37,9 @@ live source cannot provide incrementally; they are emitted once 2T-1 frames
 have arrived via one flipped chunked-timeline pass — the same machinery
 StreamingPredictor uses for its first chunk.
 
-Visual-only (ViNet). No reference counterpart: the reference's inference is
+LiveStreamingPredictor is visual-only (ViNet); AVLiveStreamingPredictor
+adds the audio-visual path (AViNet bilinear fusion) with a rolling audio
+sample buffer. No reference counterpart: the reference's inference is
 offline sliding windows over stored videos.
 """
 
@@ -50,10 +52,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vinet_tpu.data.audio import MAX_AUDIO_WIN
 from vinet_tpu.data.pipeline import device_preprocess
 from vinet_tpu.models.layers import Composite, Conv3d, MaxPool3d, Sequential
 from vinet_tpu.models.s3d import InceptionBlock, S3DBackbone
-from vinet_tpu.inference.streaming import StreamingPredictor, _dense_time, _split_time
+from vinet_tpu.inference.streaming import (AVStreamingPredictor,
+                                           StreamingPredictor, _dense_time,
+                                           _split_time)
 from vinet_tpu.ops.conv import force_lower2d
 
 
@@ -205,13 +210,17 @@ class LiveStreamingPredictor(StreamingPredictor):
             c2c = dec["conv2"]["w"].shape[-1]
             c3c = dec["conv3"]["w"].shape[-1]
             c4c = dec["conv4"]["w"].shape[-1]
-            c1c = dec["conv1"]["w"].shape[-1]
             bufs.update({
-                "c1u": z((8, L0, *hw(16), c1c)),
                 "c2y": z((4, L1, *hw(16), c2c)),
                 "c3y": z((2, L2, *hw(8), c3c)),
                 "c4y": z((2, L2, *hw(4), c4c)),
             })
+            if self._dense_with_conv1():
+                # AViNet fuses audio into y0 per window, so conv1 is
+                # windowed (decode_windows_v2 y0_fused) and has no dense
+                # series (streaming.dense_decoder_front with_conv1=False)
+                c1c = dec["conv1"]["w"].shape[-1]
+                bufs["c1u"] = z((8, L0, *hw(16), c1c))
         return tails, bufs
 
     # ------------------------------------------------------ advance (jit) --
@@ -294,9 +303,10 @@ class LiveStreamingPredictor(StreamingPredictor):
 
         dec = self._dec_params()
         out = {}
-        w1 = dec["conv1"]["w"]
-        c1 = jax.nn.relu(conv3d(news["y0"], w1, stride=1, padding=(0, 1, 1)))
-        out["c1u"] = upsample2x_hw_batch(c1)
+        if self._dense_with_conv1():
+            w1 = dec["conv1"]["w"]
+            c1 = jax.nn.relu(conv3d(news["y0"], w1, stride=1, padding=(0, 1, 1)))
+            out["c1u"] = upsample2x_hw_batch(c1)
         for key, src, wkey in (("c2y", "y1", "conv2"),
                                ("c3y", "y2", "conv3"),
                                ("c4y", "y3", "conv4")):
@@ -321,9 +331,15 @@ class LiveStreamingPredictor(StreamingPredictor):
         _, bufs = self._dev
         v = {k: bufs[k][:, off:] for k, off in self._VIEW_OFF.items() if k in bufs}
         timelines = (v["y0"], v["y1"], v["y2"], v["y3"])
-        dense = ((v["c1u"], v["c2y"], v["c3y"], v["c4y"])
+        dense = ((v.get("c1u"), v["c2y"], v["c3y"], v["c4y"])
                  if self._use_v2() else None)
         return timelines, dense
+
+    def _window_audio(self, starts, flipped):
+        """Per-window audio excerpts for the given ORIGINAL-video window
+        start frames, or None (visual-only). AVLiveStreamingPredictor
+        overrides this with its rolling sample buffer."""
+        return None
 
     def _emittable(self) -> int:
         """Largest frame index (exclusive) decodable from the processed
@@ -366,13 +382,21 @@ class LiveStreamingPredictor(StreamingPredictor):
             pad = self.batch - len(group)
             sarr = jnp.asarray(np.asarray(starts + [0] * pad, np.int32))
             timelines, dense = self._views()
-            maps = decode(timelines, dense, sarr)
+            audio = self._window_audio(
+                [g - t + 1 for g in group] + [-1] * pad, flipped=False)
+            maps = decode(timelines, dense, sarr) if audio is None else \
+                decode(timelines, dense, sarr, audio)
             fetched = np.asarray(post(maps)[: len(group)])
             for j, g in enumerate(group):
                 yield g, fetched[j]
             self._next_emit = group[-1] + 1
 
     # -------------------------------------------------------------- feed --
+    def reset(self):
+        """Start a new stream; compiled programs are kept (same-geometry
+        streams re-use them — one predictor serves many videos)."""
+        self._reset()
+
     def start(self, out_size=None, quantize_u8=False):
         """Set output geometry before feeding (defaults to frame size)."""
         self._out_size = out_size
@@ -383,6 +407,8 @@ class LiveStreamingPredictor(StreamingPredictor):
         (frame_index, map) that became final."""
         if frames_u8.ndim == 3:
             frames_u8 = frames_u8[None]
+        if frames_u8.shape[0] == 0:
+            return  # audio-only catch-up feed (AV) — nothing new decodable
         if self._dev is None:
             h, w = frames_u8.shape[1:3]
             self._hw = (h, w)
@@ -432,7 +458,11 @@ class LiveStreamingPredictor(StreamingPredictor):
             group = warm[lo: lo + self.batch]
             pad = self.batch - len(group)
             sarr = jnp.asarray(np.asarray([s for _, s in group] + [0] * pad, np.int32))
-            maps = np.asarray(post(decode(tl, dense, sarr))[: len(group)])
+            audio = self._window_audio(
+                [f for f, _ in group] + [-1] * pad, flipped=True)
+            out = decode(tl, dense, sarr) if audio is None else \
+                decode(tl, dense, sarr, audio)
+            maps = np.asarray(post(out)[: len(group)])
             for j, (f, _) in enumerate(group):
                 yield f, maps[j]
         self._warmed = True
@@ -465,3 +495,99 @@ class LiveStreamingPredictor(StreamingPredictor):
         raise NotImplementedError(
             "LiveStreamingPredictor is a feed()/flush() server; use "
             "StreamingPredictor for stored videos")
+
+
+class AVLiveStreamingPredictor(AVStreamingPredictor, LiveStreamingPredictor):
+    """Live incremental serving for AViNet (bilinear audio-visual fusion).
+
+    The visual timelines advance by the same overlap-save segments as
+    LiveStreamingPredictor (audio never touches the backbone); audio enters
+    only at decode, per emitted window: SoundNet on the window's excerpt +
+    bilinear fusion into y0 (AVStreamingPredictor._decode_fn). Feed audio
+    samples alongside frames:
+
+        live = AVLiveStreamingPredictor(model, params, state, fps=30.0)
+        for got in (live.feed(frames, audio=samples), ...): ...
+
+    `audio` is the 1-D chunk of mono samples that arrived since the last
+    feed, at `audio_fs` Hz and the reference's raw 2^-23 scale (see
+    data/audio.py::load_wav_raw); frames and samples are aligned by their
+    cumulative counts against the stream clock (frame f covers samples
+    around (f-1)/fps*fs exactly as frame_sample_ranges). Because maps lag
+    the input by the pipeline constant, every window's excerpt is complete
+    by the time it is decoded; excerpts match data/audio.py::audio_excerpt
+    (Hanning window, center-pad to 70560) and warm-up windows get the
+    time-flipped excerpt (engine.py semantics). A stream without audio
+    (never pass `audio`) degrades to zero excerpts — the reference's
+    missing-wav behavior."""
+
+    def __init__(self, model, params, state, *, fps: float | None = None,
+                 audio_fs: int = 22050, **kw):
+        super().__init__(model, params, state, **kw)
+        assert audio_fs > 0
+        self.fps = float(fps) if fps else None
+        self.audio_fs = int(audio_fs)
+
+    def _reset(self):
+        super()._reset()
+        self._samples = np.zeros((0,), np.float32)
+        self._samples_base = 0  # global sample index of _samples[0]
+
+    def start(self, out_size=None, quantize_u8=False, fps=None):
+        super().start(out_size, quantize_u8)
+        if fps:
+            self.fps = float(fps)
+
+    def feed(self, frames_u8, audio=None):
+        assert self.fps, "set fps (constructor or start()) before feeding"
+        if audio is not None:
+            a = np.asarray(audio, np.float32).reshape(-1)
+            self._samples = np.concatenate([self._samples, a])
+        yield from LiveStreamingPredictor.feed(self, frames_u8)
+        self._trim_audio()
+
+    def _trim_audio(self):
+        """Drop samples no future window can reference (oldest un-emitted
+        window start = _next_emit - T + 1; one extra frame of slack)."""
+        if not self._warmed:
+            return  # warm-up windows reach back to sample 0
+        spf = self.audio_fs / self.fps
+        lo = max(0, int((self._next_emit - self.clip_size) * spf - spf))
+        drop = lo - self._samples_base
+        if drop > 0:
+            self._samples = self._samples[drop:]
+            self._samples_base = lo
+
+    def _window_audio(self, starts, flipped):
+        """Excerpts for the given window start frames (-1 = batch padding):
+        data/audio.py::audio_excerpt over the rolling sample buffer, with
+        the live stream's received-sample count as the end clamp."""
+        fs, fps = self.audio_fs, self.fps
+        spf = fs / fps
+        total = self._samples_base + self._samples.shape[0]
+        out = np.zeros((len(starts), MAX_AUDIO_WIN), np.float32)
+        for j, sidx in enumerate(starts):
+            if sidx < 0:
+                continue
+            # float expressions mirror frame_sample_ranges exactly
+            # ((f-1) * (1/fps) * fs) so int() truncation agrees to the sample
+            t0 = sidx * (1.0 / fps) * fs
+            t1 = (sidx + self.clip_size - 1) * (1.0 / fps) * fs
+            s = int(max(0.0, t0 - spf / 2))
+            e = int(min(total, t1 + spf / 2))
+            assert s >= self._samples_base, (
+                s, self._samples_base,
+                "audio excerpt fell off the rolling sample buffer")
+            seg = self._samples[s - self._samples_base:
+                                e + 1 - self._samples_base]
+            n = seg.shape[0]
+            if n > 0:
+                m = min(n, MAX_AUDIO_WIN)
+                segw = seg[:m] * np.hanning(n)[:m].astype(np.float32)
+                c = MAX_AUDIO_WIN // 2
+                lo = c - m // 2
+                out[j, lo:lo + m] = segw
+        buf = out[:, :, None]
+        if flipped:
+            buf = buf[:, ::-1]
+        return jnp.asarray(buf)
