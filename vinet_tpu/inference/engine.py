@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from vinet_tpu.data.pipeline import device_preprocess
-from vinet_tpu.models.inference import cast_floating, fold_batchnorms, space_to_depth_stem
+from vinet_tpu.models.inference import cast_floating, fold_batchnorms
 from vinet_tpu.ops.image import gaussian_blur
 
 

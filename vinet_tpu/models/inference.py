@@ -62,42 +62,6 @@ def fold_batchnorms(params: dict, state: dict) -> tuple[dict, dict]:
     return walk(params, state)
 
 
-def space_to_depth_stem(params: dict) -> dict:
-    """Swap the S3D stem conv to its space-to-depth form (exact; inference
-    only — the transformed kernel is a pure function of the original, so
-    training keeps the canonical layout). See vinet_tpu/ops/s2d.py.
-
-    A/B on v5e: ~11% slower end-to-end than XLA's own handling of the fused
-    stem, so OFF by default — kept as a tested, documented experiment."""
-    import numpy as np
-
-    from vinet_tpu.ops.s2d import s2d_stem_kernel
-
-    root = params.get("backbone", params.get("visual_model", {}).get("backbone"))
-    if root is None:
-        return params
-    try:
-        stem = root["base1"]["0"]["conv_s"]
-    except KeyError:
-        return params
-    if "w" not in stem or stem["w"].shape[:3] != (1, 7, 7):
-        return params
-    new_stem = dict(stem)
-    new_stem["w_s2d"] = jnp.asarray(s2d_stem_kernel(np.asarray(stem["w"])))
-    del new_stem["w"]
-    # rebuild the nested dicts immutably
-    def replace(d, path, value):
-        if not path:
-            return value
-        out = dict(d)
-        out[path[0]] = replace(d[path[0]], path[1:], value)
-        return out
-
-    if "backbone" in params:
-        return replace(params, ("backbone", "base1", "0", "conv_s"), new_stem)
-    return replace(params, ("visual_model", "backbone", "base1", "0", "conv_s"), new_stem)
-
-
 def cast_floating(tree, dtype):
     """Cast floating-point leaves to dtype (params for bf16 inference)."""
     return jax.tree_util.tree_map(
@@ -134,17 +98,15 @@ def _infer_lower2d_area() -> int:
 
 
 def make_inference_fn(model, params, state, *, dtype=jnp.bfloat16, fold: bool = True,
-                      s2d_stem: bool = False, calib_clips=None):
-    """Build a jitted clips->maps function with folded BN, the space-to-depth
-    stem, and cast params. dtype="int8" quantizes (requires calib_clips).
+                      calib_clips=None):
+    """Build a jitted clips->maps function with folded BN and cast params.
+    dtype="int8" quantizes (requires calib_clips).
 
     Returns (fn, prepared_params, prepared_state); fn(clips[, audio]) emits
     f32 saliency maps.
     """
     if fold:
         params, state = fold_batchnorms(params, state)
-    if s2d_stem:
-        params = space_to_depth_stem(params)
     int8 = dtype == "int8" or dtype == jnp.int8
     if int8:
         assert calib_clips is not None, "int8 needs calib_clips"

@@ -60,12 +60,6 @@ class Conv3d:
         return _torch_conv_init(key, (*k, self.in_ch, self.out_ch), fan_in, self.use_bias), {}
 
     def apply(self, params, state, x, *, train=False):
-        if "w_s2d" in params:
-            # inference-time space-to-depth stem (vinet_tpu/ops/s2d.py);
-            # only valid for the k=7, stride-(1,2,2), pad-3 stem conv
-            from vinet_tpu.ops.s2d import conv3d_s2d_stem
-
-            return conv3d_s2d_stem(x, params["w_s2d"], params.get("b")), state
         if "w_q" in params:
             # int8 path (vinet_tpu/ops/quant.py): calibrated activation scale,
             # int8 weights, int32 accumulation

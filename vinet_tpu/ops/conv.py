@@ -120,14 +120,13 @@ def conv3d(
             dn=("NHWC", "HWIO", "NHWC"),
         )
         out = out.reshape(b, t, *out.shape[1:])
-    elif kh == 1 and kw == 1 and kt > 1 and stride[1:] == (1, 1) and pad[1] == pad[2] == 0:
-        # temporal (k,1,1) conv: Pallas matmul kernel on TPU (XLA's conv
-        # codegen runs these at ~15 TF/s; see ops/pallas_tconv.py), exact
-        # XLA fallback elsewhere / for odd pixel counts.
-        from vinet_tpu.ops.pallas_tconv import temporal_conv3d
-
-        out = temporal_conv3d(x, w, stride=stride[0], pad=pad[0])
     else:
+        # Temporal (k,1,1) convs stay on XLA's 3-D path: its ~15 TF/s on the
+        # 64-channel S3D stem is the MXU-WIDTH bound (cout=64 fills half the
+        # 128 output lanes; the N<=128 cost model M*ceil(K/128) puts the
+        # bound within ~15% of XLA's time). Four Pallas matmul formulations
+        # and five exact XLA restatements all measured at or below it on
+        # v5e — see NOTES.md "Temporal-conv MXU study" (round 3).
         out = conv_f32acc(
             x,
             w.astype(x.dtype),
@@ -255,18 +254,14 @@ def maxpool3d(
     symmetric padding that never participates in the max (pads with -inf),
     floor output size (ceil_mode=False).
 
-    TPU dispatch: the S3D pool geometries go to a Pallas kernel
-    (ops/pallas_pool.py) — XLA's reduce_window runs the stem pool at ~1/9th
-    of HBM bandwidth, and every shifted-max restatement in XLA loses to
-    strided-slice relayouts (all measured; see NOTES.md round 2). Fallback
-    is the exact reduce_window."""
+    Stays on XLA's reduce_window: Pallas pool kernels won 2-5x ISOLATED on
+    the S3D geometries but REGRESSED the full model both in parity mode
+    (222 -> 206 fps) and in the streaming timelines (727 -> 687 maps/s) —
+    the pallas_call fusion barrier costs more than the kernel wins for a
+    bandwidth-bound op. Measured and pruned; see NOTES.md rounds 2-3."""
     k = _triple(kernel)
     s = _triple(stride)
     p = _triple(padding)
-    from vinet_tpu.ops import pallas_pool
-
-    if pallas_pool.supported(x.shape, k, s, p, x.dtype):
-        return pallas_pool.maxpool(x, kernel=k, stride=s, padding=p)
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
