@@ -12,7 +12,12 @@ generate_result.py's per-frame output semantics at batch granularity.
 BENCH_MODE=avinet benchmarks AViNet (visual+audio, bilinear fusion;
 reference workload generate_result_audio_visual.py:219-230);
 BENCH_MODE=train benchmarks the jitted ViNet train step (fwd+bwd+Adam+BN
-update, clips/s; reference loop train.py:192-229).
+update, clips/s; reference loop train.py:192-229);
+BENCH_MODE=live / avlive benchmark the single-stream incremental server
+(inference/live.py; BENCH_LIVE_MICRO / BENCH_LIVE_BATCH);
+BENCH_MODE=mlive / avmlive benchmark the MULTI-STREAM server
+(inference/serving.py; BENCH_MLIVE_STREAMS concurrent streams, aggregate
+maps/s).
 
 Timing methodology (NOTES.md "Measurement"): block_until_ready is a no-op on
 this stack; the only reliable fence is a host readback (~30 ms through the
@@ -341,7 +346,7 @@ def bench_avstream(batch, iters):
     return out
 
 
-def _bench_live_impl(iters, av: bool):
+def _bench_live_impl(iters, av: bool, streams: int = 1):
     """Device-side steady-state rate of the LIVE incremental server
     (inference/live.py): per microbatch, one overlap-save segment advance
     (extends the dense phase timelines) + decode in groups of the measured
@@ -352,7 +357,11 @@ def _bench_live_impl(iters, av: bool):
     MICRO): the advance cost is nearly flat in micro (the segment tails'
     receptive-diameter recompute dominates), so bigger micro = higher
     throughput, +1 frame lag per frame of micro. AV adds per-window
-    SoundNet + bilinear fusion at decode (audio device-resident)."""
+    SoundNet + bilinear fusion at decode (audio device-resident).
+
+    streams > 1 benchmarks the MULTI-STREAM server (inference/serving.py):
+    S synchronized streams batched into one vmapped advance/decode pipeline;
+    the reported rate is the AGGREGATE maps/s across streams."""
     import numpy as np
 
     import jax
@@ -365,50 +374,74 @@ def _bench_live_impl(iters, av: bool):
     assert micro % batch_d == 0, (micro, batch_d)
     span = max(224, ((96 + 32 + 2 * micro + 7) // 8) * 8)
     rng = np.random.default_rng(0)
+    multi = streams > 1
+    spf = 22050 / 30.0
     if av:
-        from vinet_tpu.data.audio import MAX_AUDIO_FS
-        from vinet_tpu.inference.live import AVLiveStreamingPredictor
         from vinet_tpu.models import AViNet
 
         model = AViNet()
         params, state = model.init(jax.random.PRNGKey(0))
-        live = AVLiveStreamingPredictor(
-            model, params, state, fps=30.0, clip_size=32, batch=batch_d,
-            micro=micro, span=span)
-        spf = MAX_AUDIO_FS / 30.0
+        if multi:
+            from vinet_tpu.inference.serving import AVMultiLiveServer
+
+            live = AVMultiLiveServer(
+                model, params, state, streams=streams, fps=30.0,
+                clip_size=32, batch=batch_d, micro=micro, span=span)
+        else:
+            from vinet_tpu.inference.live import AVLiveStreamingPredictor
+
+            live = AVLiveStreamingPredictor(
+                model, params, state, fps=30.0, clip_size=32, batch=batch_d,
+                micro=micro, span=span)
     else:
-        from vinet_tpu.inference.live import LiveStreamingPredictor
         from vinet_tpu.models import ViNet
 
         model = ViNet(num_hier=3, clip_size=32)
         params, state = model.init(jax.random.PRNGKey(0))
-        live = LiveStreamingPredictor(model, params, state, clip_size=32,
-                                      batch=batch_d, micro=micro, span=span)
-    frames = rng.integers(0, 255, (live.span + micro, 224, 384, 3)).astype(np.uint8)
+        if multi:
+            from vinet_tpu.inference.serving import MultiLiveServer
+
+            live = MultiLiveServer(model, params, state, streams=streams,
+                                   clip_size=32, batch=batch_d, micro=micro,
+                                   span=span)
+        else:
+            from vinet_tpu.inference.live import LiveStreamingPredictor
+
+            live = LiveStreamingPredictor(model, params, state, clip_size=32,
+                                          batch=batch_d, micro=micro, span=span)
+    shape = ((streams, live.span + micro, 224, 384, 3) if multi
+             else (live.span + micro, 224, 384, 3))
+    frames = rng.integers(0, 255, shape).astype(np.uint8)
     for lo in range(0, live.span + micro, micro):  # builds _dev + jitted fns
         kw = {}
         if av:
-            kw["audio"] = 0.01 * rng.standard_normal(int(micro * spf)).astype(np.float32)
-        for _ in live.feed(frames[lo:lo + micro], **kw):
+            a = 0.01 * rng.standard_normal(int(micro * spf)).astype(np.float32)
+            kw["audio"] = [a] * streams if multi else a
+        fr = frames[:, lo:lo + micro] if multi else frames[lo:lo + micro]
+        for _ in live.feed(fr, **kw):
             pass
 
     advance = live._advance_fn()
     decode = live._decode_fn()
     post = live._post_fn(live._out_hw, False)
-    frames_dev = jnp.asarray(frames[:micro])
+    frames_dev = jnp.asarray(frames[:, :micro] if multi else frames[:micro])
     starts_groups = [jnp.arange(lo, lo + batch_d, dtype=jnp.int32)
                      for lo in range(0, micro, batch_d)]
     audio_dev = None
     if av:
         from vinet_tpu.data.audio import MAX_AUDIO_WIN
 
+        ashape = ((streams, batch_d, MAX_AUDIO_WIN, 1) if multi
+                  else (batch_d, MAX_AUDIO_WIN, 1))
         audio_dev = jnp.asarray(
-            0.01 * rng.standard_normal((batch_d, MAX_AUDIO_WIN, 1)).astype(np.float32))
+            0.01 * rng.standard_normal(ashape).astype(np.float32))
     dev = live._dev
+    voff = (slice(None), slice(None)) if multi else (slice(None),)
 
     def step(dev_):
         tails, bufs = advance(dev_[0], dev_[1], frames_dev)
-        v = {k: bufs[k][:, off:] for k, off in live._VIEW_OFF.items() if k in bufs}
+        v = {k: bufs[k][voff + (slice(off, None),)]
+             for k, off in live._VIEW_OFF.items() if k in bufs}
         timelines = (v["y0"], v["y1"], v["y2"], v["y3"])
         dense = ((v.get("c1u"), v["c2y"], v["c3y"], v["c4y"])
                  if live._use_v2() else None)
@@ -430,20 +463,25 @@ def _bench_live_impl(iters, av: bool):
             dev, out = step(dev)
         fence(out)
         dt = max(time.perf_counter() - t0 - readback, 1e-9)
-        rates.append(micro * k / dt)
+        rates.append(streams * micro * k / dt)
     warn = abs(rates[0] - rates[1]) / max(rates) > 0.15
+    name = ("avinet" if av else "vinet") + (
+        f"_mlive{streams}" if multi else "_live")
     out = {
-        "metric": ("avinet" if av else "vinet") + "_live_maps_per_s_per_chip",
+        "metric": name + "_maps_per_s_per_chip",
         "value": round(min(rates), 1),
         "unit": "maps/s",
         "vs_baseline": round(min(rates) / 60.0, 2),
         "micro": micro,
         "decode_batch": batch_d,
-        "steady_ms_per_micro": round(1e3 * micro / min(rates), 2),
+        "steady_ms_per_micro": round(1e3 * streams * micro / min(rates), 2),
         "pipeline_lag_frames": 57 + micro,
         "dtype": "bfloat16",
         "device": str(jax.devices()[0]),
     }
+    if multi:
+        out["streams"] = streams
+        out["per_stream_maps_per_s"] = round(min(rates) / streams, 1)
     if warn:
         out["linearity_warn"] = True
     return out
@@ -455,6 +493,18 @@ def bench_live(batch, iters):
 
 def bench_avlive(batch, iters):
     return _bench_live_impl(iters, av=True)
+
+
+def bench_mlive(batch, iters):
+    return _bench_live_impl(
+        iters, av=False,
+        streams=int(os.environ.get("BENCH_MLIVE_STREAMS", "4")))
+
+
+def bench_avmlive(batch, iters):
+    return _bench_live_impl(
+        iters, av=True,
+        streams=int(os.environ.get("BENCH_MLIVE_STREAMS", "4")))
 
 
 def bench_train(batch, iters):
@@ -563,6 +613,7 @@ def main():
     result = {"vinet": bench_vinet, "avinet": bench_avinet, "train": bench_train,
               "streaming": bench_streaming, "avstream": bench_avstream,
               "live": bench_live, "avlive": bench_avlive,
+              "mlive": bench_mlive, "avmlive": bench_avmlive,
               "full": bench_full}[mode](batch, iters)
     print(json.dumps(result))
 

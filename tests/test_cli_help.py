@@ -10,6 +10,7 @@ CLIS = [
     "generate_result_dave",
     "generate_result_hollywood_ucf",
     "generate_theatre",
+    "serve",
     "diem_val",
     "eval_diem",
     "evaluate_dhf1k",

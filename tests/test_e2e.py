@@ -138,3 +138,44 @@ def test_generate_cli_process_sharding(data_root, tmp_path):
     assert rc == 0
     assert os.path.isdir(join(save, "001"))
     assert not os.path.isdir(join(save, "002"))  # second shard's video untouched
+
+
+def test_serve_cli_matches_live(tmp_path):
+    """cli/serve.py serves two unequal-length videos as lockstep streams;
+    per-video maps must match the single-stream --live CLI (same window
+    semantics, quantized u8 within one rounding tie)."""
+    from PIL import Image
+
+    from vinet_tpu.cli.generate_result import main as live_main
+    from vinet_tpu.cli.serve import main as serve_main
+
+    root = str(tmp_path / "data")
+    make_dhf1k(root, n_videos=2, n_frames=40)
+    # unequal lengths: truncate video 002 to 32 frames (pad/drop path)
+    for f in range(33, 41):
+        os.remove(join(root, "002", "images", "%04d.png" % f))
+
+    live_save = str(tmp_path / "maps_live")
+    rc = live_main([
+        "--path_indata", root, "--save_path", live_save,
+        "--clip_size", "8", "--dtype", "float32",
+        "--live", "--live_micro", "16",
+    ])
+    assert rc == 0
+
+    serve_save = str(tmp_path / "maps_serve")
+    rc = serve_main([
+        "--path_indata", root, "--save_path", serve_save,
+        "--clip_size", "8", "--dtype", "float32",
+        "--streams", "2", "--live_micro", "16",
+    ])
+    assert rc == 0
+
+    for vid, n in (("001", 40), ("002", 32)):
+        got = sorted(os.listdir(join(serve_save, vid)))
+        assert len(got) == n, (vid, len(got))
+        for name in got:
+            a = np.asarray(Image.open(join(serve_save, vid, name)), np.int16)
+            b = np.asarray(Image.open(join(live_save, vid, name)), np.int16)
+            assert a.shape == (64, 96)
+            assert np.abs(a - b).max() <= 1, (vid, name)

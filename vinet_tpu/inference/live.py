@@ -224,9 +224,9 @@ class LiveStreamingPredictor(StreamingPredictor):
         return tails, bufs
 
     # ------------------------------------------------------ advance (jit) --
-    def _advance_fn(self):
-        if "advance" in self._jitted:
-            return self._jitted["advance"]
+    def _build_advance(self):
+        """Pure (tails, bufs, frames_u8) -> (tails, bufs) overlap-save step;
+        _advance_fn jits it (multi-stream serving vmaps it first)."""
         import os
 
         bb_p, bb_s = self._bb_params()
@@ -289,7 +289,12 @@ class LiveStreamingPredictor(StreamingPredictor):
                 bufs[k] = shift_in(bufs[k], new)
             return tails, bufs
 
-        self._jitted["advance"] = jax.jit(advance, donate_argnums=(0, 1))
+        return advance
+
+    def _advance_fn(self):
+        if "advance" not in self._jitted:
+            self._jitted["advance"] = jax.jit(self._build_advance(),
+                                              donate_argnums=(0, 1))
         return self._jitted["advance"]
 
     def _dense_front_new(self, bufs, news):

@@ -419,54 +419,65 @@ class StreamingPredictor:
     def _dense_with_conv1(self):
         return True
 
+    # --- pure-function builders (multi-stream serving vmaps these over a
+    # stream axis — inference/serving.py) ---
+    def _build_timeline(self):
+        def run(frames_u8, flip):
+            x = device_preprocess(frames_u8[None]).astype(self.dtype)
+            x = jnp.where(flip, x[:, ::-1], x)
+            bb_p, bb_s = self._bb_params()
+            tl = streaming_pyramid(bb_p, bb_s, x)
+            if self._use_v2():
+                return tl, dense_decoder_front(
+                    self._dec_params(), tl,
+                    with_conv1=self._dense_with_conv1())
+            return tl, None
+        return run
+
+    def _build_decode(self):
+        if self._use_v2():
+            def run(timelines, dense, starts, audio=None):
+                starts = self._shard_batch_axis(starts)
+                out = decode_windows_v2(self._decoder(), self._dec_params(),
+                                        timelines, dense, starts)
+                return self._shard_batch_axis(out.astype(jnp.float32))
+        else:
+            def run(timelines, dense, starts, audio=None):
+                starts = self._shard_batch_axis(starts)
+                pyr = gather_windows(timelines, starts, self.clip_size)
+                out, _ = self._decoder().apply(self._dec_params(), {}, pyr)
+                return self._shard_batch_axis(out.astype(jnp.float32))
+        return run
+
+    def _build_post(self, out_hw: tuple, quantize_u8: bool = False):
+        def post(maps):
+            maps = self._shard_batch_axis(maps)
+            if out_hw != maps.shape[1:]:
+                maps = jax.image.resize(
+                    maps, (maps.shape[0], *out_hw), method="bilinear", antialias=False
+                )
+            maps = gaussian_blur(maps, ksize=self.blur_ksize)
+            if quantize_u8:
+                from vinet_tpu.ops.image import quantize_maps_u8
+
+                maps = quantize_maps_u8(maps)
+            return maps
+        return post
+
     def _timeline_fn(self):
         if "timeline" not in self._jitted:
-            def run(frames_u8, flip):
-                x = device_preprocess(frames_u8[None]).astype(self.dtype)
-                x = jnp.where(flip, x[:, ::-1], x)
-                bb_p, bb_s = self._bb_params()
-                tl = streaming_pyramid(bb_p, bb_s, x)
-                if self._use_v2():
-                    return tl, dense_decoder_front(
-                        self._dec_params(), tl,
-                        with_conv1=self._dense_with_conv1())
-                return tl, None
-            self._jitted["timeline"] = jax.jit(run)
+            self._jitted["timeline"] = jax.jit(self._build_timeline())
         return self._jitted["timeline"]
 
     def _decode_fn(self):
         if "decode" not in self._jitted:
-            if self._use_v2():
-                def run(timelines, dense, starts, audio=None):
-                    starts = self._shard_batch_axis(starts)
-                    out = decode_windows_v2(self._decoder(), self._dec_params(),
-                                            timelines, dense, starts)
-                    return self._shard_batch_axis(out.astype(jnp.float32))
-            else:
-                def run(timelines, dense, starts, audio=None):
-                    starts = self._shard_batch_axis(starts)
-                    pyr = gather_windows(timelines, starts, self.clip_size)
-                    out, _ = self._decoder().apply(self._dec_params(), {}, pyr)
-                    return self._shard_batch_axis(out.astype(jnp.float32))
-            self._jitted["decode"] = jax.jit(run, static_argnames=())
+            self._jitted["decode"] = jax.jit(self._build_decode())
         return self._jitted["decode"]
 
     def _post_fn(self, out_hw: tuple, quantize_u8: bool = False):
         key = (out_hw, quantize_u8)
         if key not in self._jitted:
-            def post(maps):
-                maps = self._shard_batch_axis(maps)
-                if out_hw != maps.shape[1:]:
-                    maps = jax.image.resize(
-                        maps, (maps.shape[0], *out_hw), method="bilinear", antialias=False
-                    )
-                maps = gaussian_blur(maps, ksize=self.blur_ksize)
-                if quantize_u8:
-                    from vinet_tpu.ops.image import quantize_maps_u8
-
-                    maps = quantize_maps_u8(maps)
-                return maps
-            self._jitted[key] = jax.jit(post)
+            self._jitted[key] = jax.jit(self._build_post(out_hw, quantize_u8))
         return self._jitted[key]
 
     def predict_video(self, frames_u8: np.ndarray, *, out_size=None, pad_short=False,
@@ -622,24 +633,22 @@ class AVStreamingPredictor(StreamingPredictor):
         t4 = jnp.arange(self.clip_size // 8, dtype=jnp.int32)
         return y0t[p0[:, None], s3[:, None] + t4[None, :]]
 
-    def _decode_fn(self):
-        if "decode" not in self._jitted:
-            if self._use_v2():
-                def run(timelines, dense, starts, audio):
-                    starts = self._shard_batch_axis(starts)
-                    audio = self._shard_batch_axis(audio)
-                    fused = self._fuse(self._gather_y0(timelines[0], starts), audio)
-                    out = decode_windows_v2(self._decoder(), self._dec_params(),
-                                            timelines, dense, starts,
-                                            y0_fused=fused)
-                    return self._shard_batch_axis(out.astype(jnp.float32))
-            else:
-                def run(timelines, dense, starts, audio):
-                    starts = self._shard_batch_axis(starts)
-                    audio = self._shard_batch_axis(audio)
-                    pyr = gather_windows(timelines, starts, self.clip_size)
-                    pyr[0] = self._fuse(pyr[0], audio)
-                    out, _ = self._decoder().apply(self._dec_params(), {}, pyr)
-                    return self._shard_batch_axis(out.astype(jnp.float32))
-            self._jitted["decode"] = jax.jit(run)
-        return self._jitted["decode"]
+    def _build_decode(self):
+        if self._use_v2():
+            def run(timelines, dense, starts, audio):
+                starts = self._shard_batch_axis(starts)
+                audio = self._shard_batch_axis(audio)
+                fused = self._fuse(self._gather_y0(timelines[0], starts), audio)
+                out = decode_windows_v2(self._decoder(), self._dec_params(),
+                                        timelines, dense, starts,
+                                        y0_fused=fused)
+                return self._shard_batch_axis(out.astype(jnp.float32))
+        else:
+            def run(timelines, dense, starts, audio):
+                starts = self._shard_batch_axis(starts)
+                audio = self._shard_batch_axis(audio)
+                pyr = gather_windows(timelines, starts, self.clip_size)
+                pyr[0] = self._fuse(pyr[0], audio)
+                out, _ = self._decoder().apply(self._dec_params(), {}, pyr)
+                return self._shard_batch_axis(out.astype(jnp.float32))
+        return run
