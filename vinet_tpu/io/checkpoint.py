@@ -36,6 +36,24 @@ def latest_step(directory: str) -> int | None:
         return mgr.latest_step()
 
 
+def restore_raw(directory: str, step: int | None = None) -> dict:
+    """Restore a checkpoint without a template, as host numpy arrays — for
+    tooling (e.g. torch export) that only needs the saved values and must not
+    depend on reconstructing the optimizer to build a full-state template."""
+    step = latest_step(directory) if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {directory}")
+    path = os.path.join(os.path.abspath(directory), str(step), "default")
+    # force-numpy restore_args so a TPU-written checkpoint opens on any
+    # platform (no sharding re-resolve against jax.local_devices())
+    ck = ocp.PyTreeCheckpointer()
+    meta = ck.metadata(path)
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ck.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
+
 def restore_checkpoint(directory: str, template: dict, step: int | None = None) -> dict:
     """Restore into the shape/dtype/sharding structure of `template`."""
     with _manager(directory) as mgr:
