@@ -519,9 +519,13 @@ def bench_train(batch, iters):
     optimizer = adam(1e-4)
     ts = init_train_state(model, jax.random.PRNGKey(0), optimizer)
     dtype_name = os.environ.get("BENCH_TRAIN_DTYPE", "bfloat16")
+    # BENCH_TRAIN_ACCUM=N scans N microbatches of BENCH_BATCH/N clips per
+    # step (NOTES.md: effective batch 32 at full B=8 throughput)
+    accum = int(os.environ.get("BENCH_TRAIN_ACCUM", "1"))
     step = make_train_step(
         model, LossConfig(), optimizer, donate=False,
-        compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else None)
+        compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else None,
+        grad_accum=accum)
     kc, kg = jax.random.split(jax.random.PRNGKey(1))
     batch_d = {
         "clip": jax.random.normal(kc, (batch, 32, 224, 384, 3), jnp.float32),
@@ -545,7 +549,18 @@ def bench_train(batch, iters):
         dt = max(time.perf_counter() - t0 - readback, 1e-9)
         rates.append(batch * k / dt)
     warn = abs(rates[0] - rates[1]) / max(rates) > 0.15
-    flops = _cost_flops(step, ts, batch_d)
+    if accum == 1:
+        flops = _cost_flops(step, ts, batch_d)
+    else:
+        # cost_analysis counts a lax.scan body ONCE, so analyze one
+        # microbatch through an accum=1 step and scale per-item from there
+        micro = batch // accum
+        step1 = make_train_step(
+            model, LossConfig(), optimizer, donate=False,
+            compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else None)
+        mb = {k: v[:micro] for k, v in batch_d.items()}
+        f1 = _cost_flops(step1, ts, mb)
+        flops = f1 / micro * batch if f1 else None
     out = {
         "metric": "vinet_train_clips_per_sec_per_chip",
         "value": round(min(rates), 2),
@@ -555,6 +570,7 @@ def bench_train(batch, iters):
         # clips/s-equivalent (60 fps / 32 frames) for continuity
         "vs_baseline": round(min(rates) / (60.0 / 32.0), 2),
         "batch": batch,
+        "grad_accum": accum,
         "dtype": dtype_name,
         "device": str(jax.devices()[0]),
     }

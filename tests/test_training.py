@@ -248,3 +248,67 @@ def test_checkpoint_roundtrip(tmp_path, tiny_setup):
         jax.tree_util.tree_flatten_with_path(restored)[0],
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
+def test_grad_accum_matches_microbatch_mean(tiny_setup):
+    """grad_accum=N == hand-averaged per-microbatch gradients with BN running
+    stats threaded sequentially (the documented semantics), down to the
+    applied Adam update."""
+    import optax
+    from vinet_tpu.training.losses import loss_func
+
+    model, optimizer, ts, batch = tiny_setup  # B=2 -> two microbatches of 1
+    step = make_train_step(model, LossConfig(), optimizer, donate=False, grad_accum=2)
+    ts_a, m_a = step(ts, batch)
+    assert int(ts_a["step"]) == 1
+
+    def lf(params, state, clip, gt):
+        pred, new_state = model.apply(params, state, clip, train=True)
+        return loss_func(pred, gt, LossConfig()), new_state
+
+    g = jax.jit(jax.value_and_grad(lf, has_aux=True))
+    state = ts["state"]
+    grads, losses = None, []
+    for i in range(2):
+        (l, state), gi = g(ts["params"], state,
+                           batch["clip"][i : i + 1], batch["gt"][i : i + 1])
+        losses.append(float(l))
+        grads = gi if grads is None else jax.tree_util.tree_map(jnp.add, grads, gi)
+    grads = jax.tree_util.tree_map(lambda x: x / 2.0, grads)
+    updates, _ = optimizer.update(grads, ts["opt_state"], ts["params"])
+    params_ref = optax.apply_updates(ts["params"], updates)
+
+    np.testing.assert_allclose(float(m_a["loss"]), np.mean(losses), rtol=1e-6)
+    # the gradient itself is the semantics claim; tight check on its norm
+    np.testing.assert_allclose(float(m_a["grad_norm"]),
+                               float(optax.global_norm(grads)), rtol=1e-5)
+    # params go through Adam's m/sqrt(v): last-ulp grad noise amplifies where
+    # v ~ 0, so the update comparison gets fp headroom (atol ~ 1e-3*lr)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_a["params"]),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_a["state"]),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_sharded_matches_single_device(tiny_setup):
+    """grad_accum's in-jit (B,...)->(N,B/N,...) reshape composes with GSPMD
+    batch sharding: sharded accum step == single-device accum step."""
+    model, optimizer, ts, _ = tiny_setup
+    assert len(jax.devices()) >= 8
+    mesh = create_mesh(jax.devices()[:8], model=2)
+    k = jax.random.PRNGKey(5)
+    batch = {
+        "clip": jax.random.normal(k, (8, 8, 64, 96, 3), jnp.float32),
+        "gt": jnp.clip(jax.random.uniform(k, (8, 64, 96)), 0.05, 1.0),
+    }
+    step = make_train_step(model, LossConfig(), optimizer, donate=False, grad_accum=2)
+
+    ts_sh = {k_: (shard_pytree(v, mesh) if k_ != "step" else v) for k_, v in ts.items()}
+    ts1, m1 = step(ts_sh, shard_batch(batch, mesh))
+    ts2, m2 = step(ts, jax.tree_util.tree_map(lambda x: jax.device_put(np.asarray(x)), batch))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ts1["params"]["decoder"]["conv7"]["w"]),
+        np.asarray(ts2["params"]["decoder"]["conv7"]["w"]), rtol=1e-3, atol=1e-5)

@@ -11,8 +11,9 @@ No reference counterpart: the reference serves one offline video per
 process (/root/reference/generate_result.py) and scales by launching
 processes (--start_idx/--num_parts). This replaces that with ONE program
 batching S streams into one vmapped advance/decode pipeline
-(inference/serving.py) — the fixed per-microbatch overlap-save cost is
-paid once for all streams.
+(inference/serving.py): S synchronized streams per chip at a roughly
+constant total rate (~300 maps/s on a v5e, NOTES.md round 3), scaling
+linearly over chips with --stream_parallel.
 
 Grouping: streams in one server share frame geometry and advance in
 lockstep, so videos are grouped by native frame size and served in

@@ -39,6 +39,9 @@ def build_parser():
     p.add_argument("--l1_coeff", type=float, default=1.0)
     p.add_argument("--step_size", type=int, default=5, help="lr decay interval (epochs) if --lr_sched")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatch scan count: effective batch batch_size "
+                        "with the memory of batch_size/N per forward")
     p.add_argument("--log_interval", type=int, default=5)
     p.add_argument("--no_workers", type=int, default=4)
     p.add_argument("--train_path_data", type=str, required=True)
@@ -302,8 +305,11 @@ def run(args) -> int:
         "step": ts["step"],
     }
 
+    if args.batch_size % args.grad_accum:
+        raise SystemExit("--batch_size must be divisible by --grad_accum")
     step_fn = make_train_step(model, loss_cfg, optimizer,
-                              compute_dtype=jnp.bfloat16 if args.bf16 else None)
+                              compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                              grad_accum=args.grad_accum)
 
     @jax.jit
     def fwd(params, state, clip):

@@ -1,12 +1,18 @@
 """Multi-stream live serving: N concurrent video streams on one chip.
 
-LiveStreamingPredictor (inference/live.py) serves ONE stream; its measured
-throughput (330-466 maps/s on a v5e, NOTES.md round 3) is bounded by the
-per-microbatch fixed cost of the overlap-save segment tails — work that does
-NOT grow with the number of streams if streams are batched. A production
+LiveStreamingPredictor (inference/live.py) serves ONE stream. A production
 saliency service (many cameras / broadcast channels per accelerator) wants
-that batching: this module advances S streams' timelines in ONE jitted step
-by vmapping the single-stream pure functions over a leading stream axis.
+S streams per device: this module advances S streams' timelines in ONE
+jitted step by vmapping the single-stream pure functions over a leading
+stream axis.
+
+What batching buys (measured, NOTES.md round 3): per-stream state is
+per-stream MXU work, so one chip's TOTAL live rate is roughly flat in S
+(330 maps/s at S=1, 305 at S=2, 299 at S=4, micro 16) — the win is NOT
+single-chip throughput. It is (a) S synchronized streams per program with
+one dispatch sequence instead of S interleaved ones, and (b) stream_mesh:
+the stream axis shards over a device mesh with ZERO cross-chip collectives,
+scaling a single server linearly to N chips.
 
 Semantics: each stream's maps are exactly what a dedicated
 LiveStreamingPredictor would emit (vmap is per-example semantics; pinned by

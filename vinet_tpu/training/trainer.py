@@ -40,7 +40,8 @@ def init_train_state(model, key, optimizer: optax.GradientTransformation) -> dic
 
 
 def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransformation,
-                    *, donate: bool = True, compute_dtype=None) -> Callable:
+                    *, donate: bool = True, compute_dtype=None,
+                    grad_accum: int = 1) -> Callable:
     """Returns jitted step(train_state, batch) -> (train_state, metrics).
 
     batch: {"clip": (B,T,H,W,3), "gt": (B,H,W) or (B,Cl,H,W),
@@ -50,34 +51,62 @@ def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransf
     (2x MXU rate) while master weights, optimizer state, BN statistics, and
     the loss stay f32 — the standard TPU mixed-precision recipe. Gradients
     arrive f32 through the cast (d(astype) = astype back). Loss-curve parity
-    vs f32 is pinned in tests/test_training.py::test_bf16_train_step."""
+    vs f32 is pinned in tests/test_training.py::test_bf16_train_step.
+
+    grad_accum=N scans N sequential microbatches of B/N clips (B must divide)
+    inside the one jitted step, averaging gradients before the single Adam
+    update — effective batch B under the memory footprint of B/N (one v5e
+    chip fits B=8 at clip-32/224x384; NOTES.md round-3 sweep). BatchNorm
+    semantics: each microbatch normalizes by its own batch statistics and
+    running stats thread sequentially through the scan, i.e. exactly N
+    consecutive forward passes (pinned in test_grad_accum_matches_microbatch
+    against per-microbatch grads averaged by hand)."""
+
+    def loss_fn(params, state, mb):
+        if compute_dtype is not None:
+            from vinet_tpu.models.inference import cast_floating
+
+            p = cast_floating(params, compute_dtype)
+            clip = mb["clip"].astype(compute_dtype)
+            audio = (mb["audio"].astype(compute_dtype)
+                     if "audio" in mb else None)
+        else:
+            p, clip = params, mb["clip"]
+            audio = mb.get("audio")
+        if audio is not None:
+            pred, new_state = model.apply(p, state, clip, audio, train=True)
+        else:
+            pred, new_state = model.apply(p, state, clip, train=True)
+        if compute_dtype is not None:
+            from vinet_tpu.models.inference import cast_floating
+
+            pred = pred.astype(jnp.float32)
+            new_state = cast_floating(new_state, jnp.float32)
+        loss = loss_func(pred, mb["gt"], loss_cfg)
+        return loss, new_state
 
     def step(ts, batch):
-        def loss_fn(params):
-            if compute_dtype is not None:
-                from vinet_tpu.models.inference import cast_floating
+        if grad_accum == 1:
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                ts["params"], ts["state"], batch)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum) + x.shape[1:]),
+                batch)
 
-                p = cast_floating(params, compute_dtype)
-                clip = batch["clip"].astype(compute_dtype)
-                audio = (batch["audio"].astype(compute_dtype)
-                         if "audio" in batch else None)
-            else:
-                p, clip = params, batch["clip"]
-                audio = batch.get("audio")
-            if audio is not None:
-                pred, new_state = model.apply(p, ts["state"], clip,
-                                              audio, train=True)
-            else:
-                pred, new_state = model.apply(p, ts["state"], clip, train=True)
-            if compute_dtype is not None:
-                from vinet_tpu.models.inference import cast_floating
+            def body(carry, mb):
+                gsum, lsum, state = carry
+                (l, state2), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    ts["params"], state, mb)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (gsum, lsum + l, state2), None
 
-                pred = pred.astype(jnp.float32)
-                new_state = cast_floating(new_state, jnp.float32)
-            loss = loss_func(pred, batch["gt"], loss_cfg)
-            return loss, new_state
-
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts["params"])
+            gsum0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), ts["params"])
+            (gsum, lsum, new_state), _ = jax.lax.scan(
+                body, (gsum0, jnp.zeros((), jnp.float32), ts["state"]), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            loss = lsum / grad_accum
         updates, opt_state = optimizer.update(grads, ts["opt_state"], ts["params"])
         params = optax.apply_updates(ts["params"], updates)
         new_ts = {
