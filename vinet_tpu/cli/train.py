@@ -43,6 +43,8 @@ def build_parser():
                    help="microbatch scan count: effective batch batch_size "
                         "with the memory of batch_size/N per forward")
     p.add_argument("--log_interval", type=int, default=5)
+    p.add_argument("--tb_logdir", type=str, default=None,
+                   help="optional TensorBoard dir for train/val scalars")
     p.add_argument("--no_workers", type=int, default=4)
     p.add_argument("--train_path_data", type=str, required=True)
     p.add_argument("--val_path_data", type=str, default=None)
@@ -331,6 +333,11 @@ def run(args) -> int:
     best_loss = float("inf")
     stats_fn = make_bn_stats_fn(model) if args.bn_recal else None
     calib_host = []  # raw host batches cached for BN recalibration
+    tb = None
+    if args.tb_logdir:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.tb_logdir)
     for epoch in range(start_epoch, args.no_epochs):
         tic = time.time()
         total, cur = AverageMeter(), AverageMeter()
@@ -347,8 +354,14 @@ def run(args) -> int:
             if idx % args.log_interval == args.log_interval - 1:
                 print("[%2d, %5d] avg_loss : %.5f, time:%3f minutes"
                       % (epoch, idx, cur.avg, (time.time() - tic) / 60), flush=True)
+                if tb:
+                    tb.add_scalar("train/loss", cur.avg, int(ts["step"]))
+                    tb.add_scalar("train/grad_norm",
+                                  float(metrics["grad_norm"]), int(ts["step"]))
                 cur.reset()
         print("[%2d, train] avg_loss : %.5f" % (epoch, total.avg), flush=True)
+        if tb:
+            tb.add_scalar("train/epoch_loss", total.avg, epoch)
 
         if args.bn_recal and calib_host:
             batches = ({"clip": device_preprocess(jnp.asarray(b["clip"])),
@@ -377,6 +390,10 @@ def run(args) -> int:
                 vs.update(float(sim_l(pred, gt)))
             print("[%2d, val] avg_loss : %.5f cc_loss : %.5f sim_loss : %.5f, time : %3f"
                   % (epoch, vl.avg, vc.avg, vs.avg, (time.time() - tic) / 60), flush=True)
+            if tb:
+                tb.add_scalar("val/loss", vl.avg, epoch)
+                tb.add_scalar("val/cc", vc.avg, epoch)
+                tb.add_scalar("val/sim", vs.avg, epoch)
             val_loss = vl.avg
         else:
             val_loss = total.avg
@@ -388,6 +405,8 @@ def run(args) -> int:
             print("[%2d,  save, %s]" % (epoch, args.model_val_path), flush=True)
             host = jax.device_get(ts)
             save_npz_tree(args.model_val_path, host["params"], host["state"])
+    if tb:
+        tb.close()
     return 0
 
 
