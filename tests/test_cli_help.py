@@ -11,6 +11,7 @@ CLIS = [
     "generate_result_hollywood_ucf",
     "generate_theatre",
     "serve",
+    "export_checkpoint",
     "diem_val",
     "eval_diem",
     "evaluate_dhf1k",

@@ -19,7 +19,7 @@ import jax
 from vinet_tpu.cli.common import add_model_args, build_model, load_weights
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     add_model_args(p)
     p.add_argument("--checkpoint_dir", type=str, default=None,
@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--file_weight", type=str, default=None,
                    help=".npz tree or torch .pt to re-export instead")
     p.add_argument("--output", type=str, required=True, help="output .pt path")
+    return p
+
+
+def main(argv=None):
+    p = build_parser()
     args = p.parse_args(argv)
     if bool(args.checkpoint_dir) == bool(args.file_weight):
         p.error("exactly one of --checkpoint_dir / --file_weight is required")
