@@ -522,6 +522,8 @@ def bench_train(batch, iters):
     # BENCH_TRAIN_ACCUM=N scans N microbatches of BENCH_BATCH/N clips per
     # step (NOTES.md: effective batch 32 at full B=8 throughput)
     accum = int(os.environ.get("BENCH_TRAIN_ACCUM", "1"))
+    assert batch % accum == 0, (
+        f"BENCH_BATCH={batch} must be divisible by BENCH_TRAIN_ACCUM={accum}")
     step = make_train_step(
         model, LossConfig(), optimizer, donate=False,
         compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else None,

@@ -46,6 +46,16 @@ def main(argv=None):
         from vinet_tpu.io.checkpoint import restore_raw
 
         ts = restore_raw(args.checkpoint_dir, step=args.step)
+        # the restored tree must match the BUILT model's structure — otherwise
+        # the export silently reflects the wrong flags (e.g. a use_transformer
+        # checkpoint exported without --use_transformer would drop the
+        # synthesized pos_encoder.pe and fail the reference's strict load)
+        want = jax.tree_util.tree_structure(params)
+        got = jax.tree_util.tree_structure(ts["params"])
+        if want != got:
+            p.error("checkpoint params do not match the model built from the "
+                    "given flags (--use_sound/--use_transformer/--clip_size "
+                    f"...): model {want} vs checkpoint {got}")
         params, state = ts["params"], ts["state"]
 
     from vinet_tpu.io.export import export_torch_checkpoint

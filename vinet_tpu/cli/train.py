@@ -143,6 +143,10 @@ def run_streaming_ft(args) -> int:
 
     assert not getattr(args, "use_sound", False), \
         "--streaming_ft supports visual-only models (ViNet)"
+    if args.grad_accum != 1:
+        raise SystemExit("--grad_accum is not supported with --streaming_ft "
+                         "(the chunked step already amortizes the backbone; "
+                         "scale ft_windows instead)")
     assert args.ft_chunk % 8 == 0 and args.ft_chunk >= args.clip_size
     if not (args.load_weight or args.file_weight):
         print("warning: --streaming_ft without --load_weight fine-tunes "
@@ -184,6 +188,14 @@ def run_streaming_ft(args) -> int:
         return {"chunk": chunk, "gt": gt, "starts": jnp.asarray(starts)}
 
     best_loss = float("inf")
+    tb = None
+    if args.tb_logdir:
+        import atexit
+
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(args.tb_logdir)
+        atexit.register(tb.flush)  # keep the tail of a crashed run's scalars
     for epoch in range(args.no_epochs):
         tic = time.time()
         rng = np.random.default_rng((1234, epoch))
@@ -200,8 +212,14 @@ def run_streaming_ft(args) -> int:
             if idx % args.log_interval == args.log_interval - 1:
                 print("[%2d, %5d] avg_loss : %.5f, time:%3f minutes"
                       % (epoch, idx, cur.avg, (time.time() - tic) / 60), flush=True)
+                if tb:
+                    tb.add_scalar("train/loss", cur.avg, int(ts["step"]))
+                    tb.add_scalar("train/grad_norm",
+                                  float(metrics["grad_norm"]), int(ts["step"]))
                 cur.reset()
         print("[%2d, train] avg_loss : %.5f" % (epoch, total.avg), flush=True)
+        if tb:
+            tb.add_scalar("train/epoch_loss", total.avg, epoch)
 
         if val_loader is not None:
             vl, vc, vs = AverageMeter(), AverageMeter(), AverageMeter()
@@ -213,6 +231,10 @@ def run_streaming_ft(args) -> int:
             print("[%2d, val] avg_loss : %.5f cc_loss : %.5f sim_loss : %.5f, time : %3f"
                   % (epoch, vl.avg, vc.avg, vs.avg, (time.time() - tic) / 60),
                   flush=True)
+            if tb:
+                tb.add_scalar("val/loss", vl.avg, epoch)
+                tb.add_scalar("val/cc", vc.avg, epoch)
+                tb.add_scalar("val/sim", vs.avg, epoch)
             val_loss = vl.avg
         else:
             val_loss = total.avg
@@ -222,6 +244,8 @@ def run_streaming_ft(args) -> int:
             print("[%2d,  save, %s]" % (epoch, args.model_val_path), flush=True)
             host_ts = jax.device_get(ts)
             save_npz_tree(args.model_val_path, host_ts["params"], host_ts["state"])
+    if tb:
+        tb.close()
     return 0
 
 
@@ -335,9 +359,12 @@ def run(args) -> int:
     calib_host = []  # raw host batches cached for BN recalibration
     tb = None
     if args.tb_logdir:
+        import atexit
+
         from torch.utils.tensorboard import SummaryWriter
 
         tb = SummaryWriter(args.tb_logdir)
+        atexit.register(tb.flush)  # keep the tail of a crashed run's scalars
     for epoch in range(start_epoch, args.no_epochs):
         tic = time.time()
         total, cur = AverageMeter(), AverageMeter()

@@ -150,6 +150,18 @@ def export_torch_checkpoint(path: str, model, params: dict, state: dict) -> None
 
     sd = trees_to_torch_state_dict(
         params, state, pe_tables=_model_pe_tables(model, params))
+    # every exported transformer must carry its pos_encoder.pe buffer, or the
+    # reference's strict load fails — catches model/checkpoint flag mismatches
+    # (e.g. exporting a use_transformer checkpoint through a model built
+    # without the flag, where _model_pe_tables synthesizes nothing)
+    missing = [pfx for pfx in {k.split(".transformer_encoder.")[0]
+                               for k in sd if ".transformer_encoder." in k}
+               if f"{pfx}.pos_encoder.pe" not in sd]
+    if missing:
+        raise ValueError(
+            f"no pos_encoder.pe synthesized for transformer(s) {missing}: "
+            "the model's flags do not match the checkpoint "
+            "(--use_transformer / fusion variant)")
     # np.array forces a writable copy (np.asarray of a jax array is
     # read-only, which torch.from_numpy rejects)
     tsd = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
