@@ -37,3 +37,56 @@ def test_cli_requires_args(name, capsys):
     with pytest.raises(SystemExit) as e:
         mod.build_parser().parse_args([])
     assert e.value.code != 0
+
+
+# The reference's train.py knob surface (train.py:21-66) minus the flags
+# documented as dropped in docs/MIGRATION.md ("Dropped: ..."). Guards the
+# migration guide's central claim: a reference user's command lines keep
+# working.
+REFERENCE_TRAIN_KNOBS = [
+    "no_epochs", "lr", "kldiv", "cc", "nss", "sim", "l1", "lr_sched",
+    "kldiv_coeff", "step_size", "cc_coeff", "sim_coeff", "nss_coeff",
+    "l1_coeff", "batch_size", "log_interval", "no_workers", "model_val_path",
+    "clip_size", "nhead", "num_encoder_layers", "transformer_in_channel",
+    "train_path_data", "val_path_data", "load_weight", "num_hier", "dataset",
+    "alternate", "split", "use_sound", "use_transformer",
+]
+DROPPED_TRAIN_KNOBS = [
+    "nss_emlnet", "nss_norm", "use_vox", "frame_no", "spatial_dim",
+    "decoder_upsample", "optim", "num_decoder_layers",
+]
+
+
+def _parser_dests(name):
+    import importlib
+
+    mod = importlib.import_module(f"vinet_tpu.cli.{name}")
+    return {a.dest for a in mod.build_parser()._actions}
+
+
+def test_train_keeps_reference_knobs():
+    dests = _parser_dests("train")
+    missing = [k for k in REFERENCE_TRAIN_KNOBS if k not in dests]
+    assert not missing, missing
+    leaked = [k for k in DROPPED_TRAIN_KNOBS if k in dests]
+    assert not leaked, leaked
+
+
+@pytest.mark.parametrize("name", [
+    "generate_result", "generate_result_audio_visual", "generate_result_dave",
+    "generate_result_hollywood_ucf", "diem_val",
+])
+def test_generate_keeps_process_sharding_knobs(name):
+    dests = _parser_dests(name)
+    assert {"start_idx", "num_parts"} <= dests, dests
+
+
+def test_train_bools_are_real_booleans():
+    """The reference's type=bool parses 'False' as True (SURVEY.md §5
+    config footguns); ours must not."""
+    import importlib
+
+    mod = importlib.import_module("vinet_tpu.cli.train")
+    args = mod.build_parser().parse_args(
+        ["--train_path_data", "x", "--use_sound", "False", "--cc", "True"])
+    assert args.use_sound is False and args.cc is True
