@@ -19,6 +19,10 @@ BENCH_MODE=mlive / avmlive benchmark the MULTI-STREAM server
 (inference/serving.py; BENCH_MLIVE_STREAMS concurrent streams, aggregate
 maps/s).
 
+The default full mode also attaches streaming / live / train-step numbers
+to the parity headline record (BENCH_FULL_LIVE=0 / BENCH_FULL_TRAIN=0 to
+skip; train runs as a subprocess so it gets the whole HBM).
+
 Timing methodology (NOTES.md "Measurement"): block_until_ready is a no-op on
 this stack; the only reliable fence is a host readback (~30 ms through the
 tunnel). We time N dispatches + one readback, subtract a measured readback
@@ -617,6 +621,26 @@ def bench_full(batch, iters):
         out["live_steady_ms_per_micro"] = live["steady_ms_per_micro"]
         if live.get("linearity_warn"):
             out["linearity_warn"] = True
+    if os.environ.get("BENCH_FULL_TRAIN", "1") != "0":
+        # train-step record (VERDICT r2 item 7): run in a SUBPROCESS so the
+        # B=8 fwd+bwd+Adam step gets the whole 16 GB HBM — this process
+        # already holds the parity/streaming/live executables and buffers.
+        # Best-effort: on timeout/failure the fields are simply absent.
+        import subprocess
+
+        env = dict(os.environ, BENCH_MODE="train", BENCH_BATCH="8",
+                   BENCH_ITERS="5")
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               capture_output=True, text=True, timeout=900,
+                               env=env)
+            train = json.loads(r.stdout.strip().splitlines()[-1])
+            out["train_clips_per_s"] = train["value"]
+            out["train_dtype"] = train["dtype"]
+            if "mfu" in train:
+                out["train_mfu"] = train["mfu"]
+        except Exception:
+            pass
     return out
 
 
