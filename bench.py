@@ -626,22 +626,52 @@ def bench_full(batch, iters):
         # B=8 fwd+bwd+Adam step gets the whole 16 GB HBM — this process
         # already holds the parity/streaming/live executables and buffers.
         # Best-effort: on timeout/failure the fields are simply absent.
-        import subprocess
-
-        env = dict(os.environ, BENCH_MODE="train", BENCH_BATCH="8",
-                   BENCH_ITERS="5")
-        try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               capture_output=True, text=True, timeout=900,
-                               env=env)
-            train = json.loads(r.stdout.strip().splitlines()[-1])
+        train = _sub_record("train", {"BENCH_BATCH": "8", "BENCH_ITERS": "5"})
+        if train:
             out["train_clips_per_s"] = train["value"]
             out["train_dtype"] = train["dtype"]
             if "mfu" in train:
                 out["train_mfu"] = train["mfu"]
-        except Exception:
-            pass
+    if os.environ.get("BENCH_FULL_AV", "1") != "0":
+        # AViNet records (VERDICT r3 item 7): the audio-visual model's
+        # parity + streaming throughput, driver-tracked like the visual
+        # ones. Subprocesses for the same HBM reason as train; the
+        # persistent compile cache makes their compiles one-time.
+        av = _sub_record("avinet", {"BENCH_ITERS": "10"})
+        if av:
+            out["avinet_fps"] = av["value"]
+            if "mfu" in av:
+                out["avinet_mfu"] = av["mfu"]
+        avs = _sub_record("avstream", {"BENCH_ITERS": "10"})
+        if avs:
+            out["avinet_streaming_maps_per_s"] = avs["value"]
+            if "mfu" in avs:
+                out["avinet_streaming_mfu"] = avs["mfu"]
     return out
+
+
+def _sub_record(mode, env_extra, timeout=900):
+    """Run `BENCH_MODE=mode` in a subprocess and parse its JSON record.
+    Loud failure (advisor r3): an absent record in the bench artifact must
+    be diagnosable from stderr, not silent."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_MODE=mode, **env_extra)
+    r = None
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, timeout=timeout,
+                           env=env)
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        tail = ""
+        if r is not None:
+            tail = (r.stderr or "")[-400:].replace("\n", " | ")
+            tail = f" rc={r.returncode} stderr_tail={tail!r}"
+        print(f"bench.py WARNING: BENCH_MODE={mode} subprocess failed "
+              f"({type(e).__name__}: {e});{tail} fields omitted",
+              file=sys.stderr, flush=True)
+        return None
 
 
 def main():

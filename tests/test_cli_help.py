@@ -52,9 +52,32 @@ REFERENCE_TRAIN_KNOBS = [
     "alternate", "split", "use_sound", "use_transformer",
 ]
 DROPPED_TRAIN_KNOBS = [
-    "nss_emlnet", "nss_norm", "use_vox", "frame_no", "spatial_dim",
+    "nss_emlnet", "nss_norm", "nss_emlnet_coeff", "nss_norm_coeff",
+    "use_vox", "frame_no", "spatial_dim",
     "decoder_upsample", "optim", "num_decoder_layers",
 ]
+
+# Every dest the reference's parser defines (train.py:21-66), verbatim.
+# The kept/dropped split above must partition exactly this set, so drift
+# in either direction (a new undocumented drop, or a stale entry) fails.
+REFERENCE_TRAIN_PARSER_DESTS = {
+    "no_epochs", "lr", "kldiv", "cc", "nss", "sim", "nss_emlnet",
+    "nss_norm", "l1", "lr_sched", "optim", "kldiv_coeff", "step_size",
+    "cc_coeff", "sim_coeff", "nss_coeff", "nss_emlnet_coeff",
+    "nss_norm_coeff", "l1_coeff", "batch_size", "log_interval",
+    "no_workers", "model_val_path", "clip_size", "nhead",
+    "num_encoder_layers", "num_decoder_layers", "transformer_in_channel",
+    "train_path_data", "val_path_data", "decoder_upsample", "frame_no",
+    "load_weight", "num_hier", "dataset", "alternate", "spatial_dim",
+    "split", "use_sound", "use_transformer", "use_vox",
+}
+
+
+def test_kept_plus_dropped_is_exactly_the_reference_surface():
+    kept, dropped = set(REFERENCE_TRAIN_KNOBS), set(DROPPED_TRAIN_KNOBS)
+    assert not (kept & dropped), kept & dropped
+    assert kept | dropped == REFERENCE_TRAIN_PARSER_DESTS, (
+        kept | dropped) ^ REFERENCE_TRAIN_PARSER_DESTS
 
 
 def _parser_dests(name):

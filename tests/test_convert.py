@@ -210,3 +210,16 @@ def test_avinet_fusion_full_conversion_parity(tmp_path):
     out, _ = model.apply(params, state, jnp.asarray(x), jnp.asarray(audio))
     err = np.abs(np.asarray(out) - ref).max()
     assert err < 5e-3, err
+
+
+def test_load_weights_none_sentinel_is_noop():
+    """The reference's literal "None" --load_weight default (train.py:56) must
+    mean "no weights", not a file path (advisor r3)."""
+    from vinet_tpu.cli.common import load_weights
+    from vinet_tpu.models import ViNet
+
+    model = ViNet(num_hier=3, clip_size=8)
+    params, state = model.init(jax.random.PRNGKey(0))
+    for sentinel in ("None", "", None):
+        p2, s2 = load_weights(sentinel, model, params, state)
+        assert p2 is params and s2 is state, sentinel

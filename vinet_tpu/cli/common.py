@@ -63,7 +63,13 @@ def model_input_size(args) -> tuple:
 
 def load_weights(path: str, model, params, state):
     """Load model weights from either a converted .npz (vinet_tpu format) or a
-    torch .pt state_dict (converted on the fly)."""
+    torch .pt state_dict (converted on the fly).
+
+    The reference uses the literal string "None" as --load_weight's no-weights
+    sentinel (/root/reference/train.py:56); reference command lines pass it
+    explicitly, so treat it (and "") as "load nothing" rather than a path."""
+    if path in (None, "", "None"):
+        return params, state
     if path.endswith(".npz"):
         from vinet_tpu.io.convert import load_npz_tree
 
