@@ -31,12 +31,18 @@ set -euo pipefail
 VINET_CKPT=${VINET_CKPT:?set VINET_CKPT=path/to/ViNet_DHF1K.pt}
 DHF1K_VAL=${DHF1K_VAL:?set DHF1K_VAL=path/to/DHF1K/val (video dirs with images/ + maps/ + fixation/)}
 OUT=${1:-/tmp/vinet_released_val}
+# Dry-run knobs (tests/test_runbook.py exercises the whole runbook offline
+# against a torch_ref-generated .pt + synthetic val dir): CLIP_SIZE shrinks
+# the model variant, GEN_ARGS passes extra generate flags (e.g. CPU dtype).
+# Leave both unset for the real released-checkpoint run.
+CLIP_SIZE=${CLIP_SIZE:-32}
+GEN_ARGS=${GEN_ARGS:-}
 cd "$(dirname "$0")/.."
 
 echo "== 1/3 parity-mode map generation (reference-exact sliding window) =="
 python -m vinet_tpu.cli.generate_result \
     --file_weight "$VINET_CKPT" --path_indata "$DHF1K_VAL" \
-    --save_path "$OUT/maps" --exact_quantize
+    --save_path "$OUT/maps" --exact_quantize --clip_size "$CLIP_SIZE" $GEN_ARGS
 
 echo "== 2/3 score vs DHF1K val ground truth =="
 python -m vinet_tpu.cli.evaluate_dhf1k \
@@ -48,7 +54,7 @@ echo "   NOTE: expected to score BELOW parity unless the checkpoint was"
 echo "   fine-tuned with train.py --streaming_ft (NOTES.md round 3)."
 python -m vinet_tpu.cli.generate_result \
     --file_weight "$VINET_CKPT" --path_indata "$DHF1K_VAL" \
-    --save_path "$OUT/maps_streaming" --streaming
+    --save_path "$OUT/maps_streaming" --streaming --clip_size "$CLIP_SIZE" $GEN_ARGS
 python -m vinet_tpu.cli.evaluate_dhf1k \
     --pred_path "$OUT/maps_streaming" --gt_path "$DHF1K_VAL" \
     --metrics cc,sim,nss,aucj | tee "$OUT/scores_streaming.txt"

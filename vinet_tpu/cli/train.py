@@ -319,7 +319,16 @@ def run(args) -> int:
 
     n_dev = len(jax.devices())
     avail = n_dev // args.model_axis
-    data_axis = math.gcd(args.batch_size, avail)
+    if world > 1:
+        # the mesh must span every process's devices (a subset mesh would
+        # leave some hosts with no addressable shard to feed)
+        data_axis = avail
+        if (args.batch_size * world) % data_axis:
+            raise SystemExit(
+                f"global batch {args.batch_size}*{world} not divisible by "
+                f"the {data_axis}-way data axis")
+    else:
+        data_axis = math.gcd(args.batch_size, avail)
     mesh = create_mesh(jax.devices()[: data_axis * args.model_axis], model=args.model_axis)
     if data_axis * args.model_axis < n_dev:
         print(f"using {data_axis * args.model_axis}/{n_dev} devices "
@@ -347,12 +356,38 @@ def run(args) -> int:
         out, _ = model.apply(params, state, clip, audio)
         return out
 
+    from vinet_tpu.parallel.mesh import batch_sharding, replicate
+
+    def _globalize(x):
+        """Assemble this host's batch shard into the global data-sharded
+        array: each process loads a DISJOINT slice of the index set
+        (Loader shard=(rank, world)), so the global batch is the
+        concatenation — batch_size is PER HOST, global = batch_size*world."""
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh), x, (x.shape[0] * world,) + x.shape[1:])
+
     def to_device(batch):
-        out = {"clip": device_preprocess(jnp.asarray(batch["clip"]))}
-        out["gt"] = jnp.asarray(batch["gt"], jnp.float32)
+        if world == 1:
+            out = {"clip": device_preprocess(jnp.asarray(batch["clip"]))}
+            out["gt"] = jnp.asarray(batch["gt"], jnp.float32)
+            if "audio" in batch:
+                out["audio"] = jnp.asarray(batch["audio"], jnp.float32)
+            return shard_batch(out, mesh)
+        out = {"clip": device_preprocess(_globalize(batch["clip"]))}
+        out["gt"] = _globalize(np.asarray(batch["gt"], np.float32))
         if "audio" in batch:
-            out["audio"] = jnp.asarray(batch["audio"], jnp.float32)
-        return shard_batch(out, mesh)
+            out["audio"] = _globalize(np.asarray(batch["audio"], np.float32))
+        return out
+
+    def _replicated(x, dtype=None):
+        """Validation/calibration inputs under multi-host: every process
+        walks the SAME deterministic loader, so place the (identical) host
+        copy fully replicated — jit then runs one global program in
+        lockstep instead of mixing per-host committed arrays with
+        global-mesh params."""
+        x = np.asarray(x) if dtype is None else np.asarray(x, dtype)
+        return jax.device_put(x, replicate(mesh)) if world > 1 else jnp.asarray(x)
 
     best_loss = float("inf")
     stats_fn = make_bn_stats_fn(model) if args.bn_recal else None
@@ -391,8 +426,8 @@ def run(args) -> int:
             tb.add_scalar("train/epoch_loss", total.avg, epoch)
 
         if args.bn_recal and calib_host:
-            batches = ({"clip": device_preprocess(jnp.asarray(b["clip"])),
-                        **({"audio": jnp.asarray(b["audio"], jnp.float32)}
+            batches = ({"clip": device_preprocess(_replicated(b["clip"])),
+                        **({"audio": _replicated(b["audio"], np.float32)}
                            if "audio" in b else {})} for b in calib_host)
             ts = dict(ts, state=recalibrate_bn(
                 model, ts["params"], ts["state"], batches, stats_fn=stats_fn))
@@ -402,13 +437,13 @@ def run(args) -> int:
             vl, vc, vs = AverageMeter(), AverageMeter(), AverageMeter()
             from vinet_tpu.training.losses import cc as cc_l, similarity as sim_l, loss_func
             for batch in val_loader:
-                clip = device_preprocess(jnp.asarray(batch["clip"]))
+                clip = device_preprocess(_replicated(batch["clip"]))
                 if "audio" in batch:
                     pred = fwd_audio(ts["params"], ts["state"], clip,
-                                     jnp.asarray(batch["audio"], jnp.float32))
+                                     _replicated(batch["audio"], np.float32))
                 else:
                     pred = fwd(ts["params"], ts["state"], clip)
-                gt = jnp.asarray(batch["gt"], jnp.float32)
+                gt = _replicated(batch["gt"], np.float32)
                 # native-res GT: resize pred to GT, blur (reference train.py:251-257)
                 pred = jax.image.resize(pred, gt.shape, method="bilinear", antialias=False)
                 pred = gaussian_blur(pred)
@@ -425,13 +460,17 @@ def run(args) -> int:
         else:
             val_loss = total.avg
 
-        if args.checkpoint_dir:
+        # host-side writes are rank-0 only under multi-host (state is
+        # replicated, so rank 0's copy is the global one; every rank
+        # writing the same path would race on a shared filesystem)
+        if args.checkpoint_dir and rank == 0:
             save_checkpoint(args.checkpoint_dir, jax.device_get(ts))
         if val_loss <= best_loss:
             best_loss = val_loss
-            print("[%2d,  save, %s]" % (epoch, args.model_val_path), flush=True)
-            host = jax.device_get(ts)
-            save_npz_tree(args.model_val_path, host["params"], host["state"])
+            if rank == 0:
+                print("[%2d,  save, %s]" % (epoch, args.model_val_path), flush=True)
+                host = jax.device_get(ts)
+                save_npz_tree(args.model_val_path, host["params"], host["state"])
     if tb:
         tb.close()
     return 0

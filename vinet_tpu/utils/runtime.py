@@ -36,17 +36,36 @@ def num_params(tree) -> int:
 
 
 def init_distributed() -> tuple:
-    """Multi-host bring-up: jax.distributed.initialize() (idempotent), then
+    """Multi-host bring-up: jax.distributed.initialize(), then
     (process_index, process_count). The reference has no multi-node story at
     all (SURVEY.md §2.6); here one flag turns the same mesh/step into a
     DCN-spanning program — collectives ride ICI within a slice and DCN
-    across, inserted by GSPMD."""
+    across, inserted by GSPMD.
+
+    Two entry modes:
+    - VINET_COORDINATOR=host:port + VINET_NUM_PROCESSES + VINET_PROCESS_ID
+      set: explicit bring-up — failures PROPAGATE (the user asked for
+      multi-host; silently proceeding single-host would corrupt the run).
+      This is also how the 2-process CPU test drives it
+      (tests/test_multihost.py; gloo CPU collectives).
+    - otherwise: jax's own cluster autodetection (Cloud TPU / SLURM / OMPI);
+      errors downgrade to single-process since --multihost on a single-host
+      TPU box is a valid no-op."""
+    import os
+
     import jax
 
-    try:
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-process (or already initialized)
+    coord = os.environ.get("VINET_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["VINET_NUM_PROCESSES"]),
+            process_id=int(os.environ["VINET_PROCESS_ID"]))
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process (or already initialized)
     return jax.process_index(), jax.process_count()
 
 
