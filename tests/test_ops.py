@@ -211,3 +211,31 @@ def test_quantize_maps_u8_matches_save_map_math():
         ref = np.clip(np.round(a * 255.0 + 0.5), 0, 255).astype(np.uint8)
         diff = np.abs(got[i].astype(int) - ref.astype(int))
         assert diff.max() <= 1  # f32-vs-f64 rounding ties only
+
+
+@pytest.mark.parametrize("kt,t", [(3, 12), (5, 20), (2, 4)])
+def test_conv3d_tmerge_exact_and_differentiable(monkeypatch, kt, t):
+    """VINET_TMERGE=1 (temporal-tiling kt==st convs folded to VALID convs
+    over a free window reshape, ops/conv.py) is exact vs the strided path
+    and has the same gradients — the decoder-plan geometry family."""
+    x = RNG.randn(2, t, 6, 8, 12).astype(np.float32)
+    w = RNG.randn(kt, 3, 3, 12, 7).astype(np.float32)
+    b = RNG.randn(7).astype(np.float32)
+
+    def run():
+        f = lambda xx, ww: conv3d(xx, ww, stride=(kt, 1, 1), padding=(0, 1, 1),
+                                  bias=jnp.asarray(b)).sum()
+        val, grads = jax.value_and_grad(
+            lambda args: f(*args))((jnp.asarray(x), jnp.asarray(w)))
+        y = conv3d(jnp.asarray(x), jnp.asarray(w), stride=(kt, 1, 1),
+                   padding=(0, 1, 1), bias=jnp.asarray(b))
+        return np.asarray(y), float(val), [np.asarray(g) for g in grads]
+
+    monkeypatch.setenv("VINET_TMERGE", "0")
+    y0, v0, g0 = run()
+    monkeypatch.setenv("VINET_TMERGE", "1")
+    y1, v1, g1 = run()
+    np.testing.assert_allclose(y1, y0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    for a, c in zip(g1, g0):
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-4)

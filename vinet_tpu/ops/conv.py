@@ -102,6 +102,35 @@ def conv3d(
     # or slight loss (mixed @28x48: 2.40 vs 2.55 ms), hence the shape gate.
     # Round 1's GLOBAL lowering (incl. temporal convs) was slower end-to-end:
     # temporal (k,1,1) convs stay 3-D (2-D fold measured 7x worse @28x48).
+    # Temporal-tiling convs (kt == stride_t, pad_t == 0): the strided windows
+    # PARTITION the time axis, so (B, To*kt, H, W, C) -> (B*To, kt, H, W, C)
+    # is a free reshape (major dims only) and the conv becomes VALID with the
+    # window spanning all of T — no strided access for XLA's 3-D codegen to
+    # mishandle. This is every decoder stage (models/decoder.py plans all
+    # have kt==st; reference model.py:253-264). Verdict of the
+    # scripts/exp_dec_r4.py study (NOTES "Decoder conv roofline"): per-op
+    # wins (conv2 140->155 TF/s, unfolded conv5 9.9->3.8 ms) but parity
+    # end-to-end LOSES 230->204 fps — the reshapes break XLA's
+    # conv+relu+concat fusions, same story as round 1's global 2-D
+    # lowering. Stays opt-in (VINET_TMERGE=1) for graphs dominated by the
+    # unfolded conv5 (it is phase-folded in parity inference anyway).
+    if (kt > 1 and stride[0] == kt and pad[0] == 0 and x.shape[1] % kt == 0
+            and os.environ.get("VINET_TMERGE", "0") == "1"):
+        b, t, h, ww, c = x.shape
+        to = t // kt
+        x2 = x.reshape(b * to, kt, h, ww, c)
+        out = conv_f32acc(
+            x2,
+            w.astype(x.dtype),
+            strides=(1, stride[1], stride[2]),
+            padding=[(0, 0), (pad[1], pad[1]), (pad[2], pad[2])],
+            dn=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        out = out.reshape(b, to, *out.shape[2:])
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out.astype(x.dtype)
+
     if _lower_spatial_to_2d(x.shape, w.shape) and kt == 1 and stride[0] == 1 and pad[0] == 0:
         b, t, h, ww, c = x.shape
         x2, w2 = x.reshape(b * t, h, ww, c), w[0]
