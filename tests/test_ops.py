@@ -149,7 +149,10 @@ def test_fold_bn_into_conv():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
-def test_upsample2x_matches_torch_trilinear():
+@pytest.mark.parametrize("lowering", ["0", "1"])
+def test_upsample2x_matches_torch_trilinear(monkeypatch, lowering):
+    """Both lowerings (stack stencil / jax.image.resize) are torch-exact."""
+    monkeypatch.setenv("VINET_UP_RESIZE", lowering)
     x = RNG.randn(2, 3, 7, 12, 4).astype(np.float32)
     y = upsample2x_hw(jnp.asarray(x))
     xt = _t(x).permute(0, 4, 1, 2, 3)

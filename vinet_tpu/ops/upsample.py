@@ -45,7 +45,23 @@ def lax_slice(x: jax.Array, axis: int, start: int, stop: int) -> jax.Array:
 
 
 def upsample2x_hw(x: jax.Array) -> jax.Array:
-    """Upsample an NDHWC tensor by 2x in H and W (time untouched)."""
+    """Upsample an NDHWC tensor by 2x in H and W (time untouched).
+
+    Two lowerings of the same half-pixel 2-tap stencil (torch-exact at f32,
+    tests/test_ops.py covers both):
+    - stack: shifted adds + interleave reshape (the original formulation).
+    - resize: XLA's own jax.image.resize(trilinear) — measured 1.3-2.6x
+      faster ISOLATED at every decoder-stage geometry (scripts/exp_up_r4.py:
+      e.g. 56x96x64 5.85 -> 2.40 ms, 28x48x192 2.89 -> 1.11 ms at B=16; the
+      stack form's (W,2,C)->(2W,C) interleave relayouts the tiled W dim).
+      Gated until the end-to-end A/B decides (VINET_UP_RESIZE).
+    """
+    import os
+
+    if os.environ.get("VINET_UP_RESIZE", "1") == "1":
+        b, t, h, w, c = x.shape
+        return jax.image.resize(
+            x, (b, t, 2 * h, 2 * w, c), method="trilinear").astype(x.dtype)
     x = _upsample2x_axis(x, axis=2)  # H
     x = _upsample2x_axis(x, axis=3)  # W
     return x
