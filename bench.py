@@ -511,6 +511,39 @@ def bench_avmlive(batch, iters):
         streams=int(os.environ.get("BENCH_MLIVE_STREAMS", "4")))
 
 
+def bench_streamft(batch, iters):
+    """Accuracy record for the committed streaming-FT artifact (VERDICT r3
+    item 4): loads artifacts/streamft_fixture.npz and scores parity vs
+    streaming inference against the synthetic fixture's ground truth
+    (vinet_tpu/inference/accuracy.py) — so the bench artifact itself says
+    what the streaming maps/s number buys and costs accuracy-wise."""
+    import jax.numpy as jnp
+
+    from vinet_tpu.inference.accuracy import evaluate_modes, load_artifact
+    from vinet_tpu.models import ViNet
+
+    path = os.environ.get(
+        "VINET_STREAMFT_CKPT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "artifacts", "streamft_fixture.npz"))
+    out = {"metric": "streaming_ft_accuracy", "unit": "cc",
+           "artifact": os.path.basename(path)}
+    if not os.path.exists(path):
+        out["skipped"] = "artifact missing"
+        return out
+    model = ViNet(num_hier=3, clip_size=32)
+    params, state = load_artifact(path, model)
+    r = evaluate_modes(model, params, state,
+                       n_frames=int(os.environ.get("BENCH_FT_FRAMES", "96")),
+                       seeds=(100, 101), dtype=jnp.bfloat16, batch=batch)
+    out.update(value=round(r["cc_delta"], 4), vs_baseline=0.0,
+               parity_cc=round(r["parity_cc"], 4),
+               streaming_cc=round(r["streaming_cc"], 4),
+               agreement_cc=round(r["agreement_cc"], 4),
+               frames_scored=r["frames_scored"])
+    return out
+
+
 def bench_train(batch, iters):
     import jax
     import jax.numpy as jnp
@@ -647,6 +680,16 @@ def bench_full(batch, iters):
             out["avinet_streaming_maps_per_s"] = avs["value"]
             if "mfu" in avs:
                 out["avinet_streaming_mfu"] = avs["mfu"]
+    ft_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts", "streamft_fixture.npz")
+    if os.environ.get("BENCH_FULL_FT", "1") != "0" and os.path.exists(ft_path):
+        # streaming-FT accuracy deltas (VERDICT r3 item 4): the artifact
+        # itself states what streaming costs vs parity on the fixture
+        ft = _sub_record("streamft", {})
+        if ft and "value" in ft:
+            out["streaming_ft_cc_delta"] = ft["value"]
+            out["streaming_ft_agreement_cc"] = ft["agreement_cc"]
+            out["streaming_ft_parity_cc"] = ft["parity_cc"]
     return out
 
 
@@ -686,6 +729,7 @@ def main():
               "streaming": bench_streaming, "avstream": bench_avstream,
               "live": bench_live, "avlive": bench_avlive,
               "mlive": bench_mlive, "avmlive": bench_avmlive,
+              "streamft": bench_streamft,
               "full": bench_full}[mode](batch, iters)
     print(json.dumps(result))
 

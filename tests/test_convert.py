@@ -111,6 +111,26 @@ def test_npz_roundtrip(converted, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_npz_roundtrip_bf16(converted, tmp_path):
+    """bf16 leaves survive npz: numpy stores them as 2-byte void (no native
+    bf16), load_npz_tree views them back (the committed streaming-FT
+    artifact's format, artifacts/streamft_fixture.npz)."""
+    import jax.numpy as jnp
+
+    model, params, state = converted
+    from vinet_tpu.models.inference import cast_floating
+
+    pb = cast_floating(params, jnp.bfloat16)
+    p = str(tmp_path / "wbf16.npz")
+    save_npz_tree(p, pb, state)
+    p2, _ = load_npz_tree(p, params, state)
+    for a, b in zip(jax.tree_util.tree_leaves(pb), jax.tree_util.tree_leaves(p2)):
+        if np.asarray(a).dtype == np.float32:
+            continue
+        assert np.asarray(b).dtype == np.asarray(a).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_avinet_full_conversion_parity(tmp_path):
     """AViNet end-to-end: torch state_dict (visual_model/audionet/bilinear
     naming) -> converter -> identical saliency maps. Requires the full

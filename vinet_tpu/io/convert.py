@@ -264,7 +264,15 @@ def load_npz_tree(path: str, params: dict, state: dict):
         parts = name.split(".")
         for part in parts[:-1]:
             node = node[part]
-        node[parts[-1]] = jnp.asarray(data[key])
+        arr = data[key]
+        if arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+            # bfloat16 round-trips through npz as a 2-byte void: numpy has
+            # no native bf16, so np.savez stores the raw ml_dtypes buffer.
+            # The only 2-byte void this codebase produces is bf16.
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
+        node[parts[-1]] = jnp.asarray(arr)
     return out_p, out_s
 
 
