@@ -329,6 +329,16 @@ def run(args) -> int:
                 f"the {data_axis}-way data axis")
     else:
         data_axis = math.gcd(args.batch_size, avail)
+    if world > 1 and args.model_axis > 1:
+        # rank-0 host saves below do jax.device_get(ts), which requires every
+        # shard to be process-addressable; with the model axis spanning
+        # processes the params are not, so the first checkpoint would raise
+        # mid-run (advisor r4). Fail at startup instead of after an epoch.
+        raise SystemExit(
+            "--multihost with --model_axis>1 is unsupported: params are "
+            "sharded across processes and rank-0 checkpointing cannot "
+            "address the full state (no cross-host gather-save implemented); "
+            "use --model_axis 1 under --multihost")
     mesh = create_mesh(jax.devices()[: data_axis * args.model_axis], model=args.model_axis)
     if data_axis * args.model_axis < n_dev:
         print(f"using {data_axis * args.model_axis}/{n_dev} devices "
@@ -338,6 +348,7 @@ def run(args) -> int:
         "state": shard_pytree(ts["state"], mesh),
         "opt_state": shard_pytree(ts["opt_state"], mesh),
         "step": ts["step"],
+        "rng": ts["rng"],  # dropout base key (replicated like step)
     }
 
     if args.batch_size % args.grad_accum:
@@ -426,9 +437,23 @@ def run(args) -> int:
             tb.add_scalar("train/epoch_loss", total.avg, epoch)
 
         if args.bn_recal and calib_host:
-            batches = ({"clip": device_preprocess(_replicated(b["clip"])),
-                        **({"audio": _replicated(b["audio"], np.float32)}
-                           if "audio" in b else {})} for b in calib_host)
+            # calib batches come from the RANK-SHARDED train loader, so under
+            # multi-host each process holds a different slice — globalize them
+            # (like train batches) so BN stats are computed over one
+            # consistent global batch and the recalibrated state is identical
+            # on every host (advisor r4: _replicated would silently diverge)
+            def _dev_calib(b):
+                if world > 1:
+                    out = {"clip": device_preprocess(_globalize(b["clip"]))}
+                    if "audio" in b:
+                        out["audio"] = _globalize(np.asarray(b["audio"], np.float32))
+                else:
+                    out = {"clip": device_preprocess(jnp.asarray(b["clip"]))}
+                    if "audio" in b:
+                        out["audio"] = jnp.asarray(b["audio"], jnp.float32)
+                return out
+
+            batches = (_dev_calib(b) for b in calib_host)
             ts = dict(ts, state=recalibrate_bn(
                 model, ts["params"], ts["state"], batches, stats_fn=stats_fn))
 

@@ -3,7 +3,8 @@
 The reference saves only a best-val state_dict, epoch-granular, with no
 optimizer state, step counter, or RNG (/root/reference/train.py:283-290), so
 resume restarts the schedule (SURVEY.md §5). Here the full train state
-{"params","state","opt_state","step"} round-trips, plus a tagged best/ copy.
+{"params","state","opt_state","step","rng"} round-trips (rng = the dropout
+base key, so resume restores the exact key stream), plus a tagged best/ copy.
 """
 
 from __future__ import annotations

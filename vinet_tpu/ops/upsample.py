@@ -54,7 +54,8 @@ def upsample2x_hw(x: jax.Array) -> jax.Array:
       faster ISOLATED at every decoder-stage geometry (scripts/exp_up_r4.py:
       e.g. 56x96x64 5.85 -> 2.40 ms, 28x48x192 2.89 -> 1.11 ms at B=16; the
       stack form's (W,2,C)->(2W,C) interleave relayouts the tiled W dim).
-      Gated until the end-to-end A/B decides (VINET_UP_RESIZE).
+      The end-to-end A/B (NOTES.md r4: 230.2 -> 239.8 fps) made resize the
+      DEFAULT; VINET_UP_RESIZE=0 restores the stack form.
     """
     import os
 

@@ -30,12 +30,19 @@ def adam(lr: float = 1e-4) -> optax.GradientTransformation:
 
 
 def init_train_state(model, key, optimizer: optax.GradientTransformation) -> dict:
+    """Full train state incl. the dropout base key (SURVEY §5:
+    "params+opt_state+step+RNG" — the reference saves none of these,
+    /root/reference/train.py:283-290). The base key is derived by fold_in so
+    param init (model.init(key)) is byte-identical to pre-RNG rounds; the
+    per-step dropout key is fold_in(rng, step), so resume restores the exact
+    key stream."""
     params, state = model.init(key)
     return {
         "params": params,
         "state": state,
         "opt_state": optimizer.init(params),
         "step": jnp.zeros((), jnp.int32),
+        "rng": jax.random.fold_in(key, 0xD0),  # dropout stream, != init key
     }
 
 
@@ -60,9 +67,20 @@ def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransf
     semantics: each microbatch normalizes by its own batch statistics and
     running stats thread sequentially through the scan, i.e. exactly N
     consecutive forward passes (pinned in test_grad_accum_matches_microbatch
-    against per-microbatch grads averaged by hand)."""
+    against per-microbatch grads averaged by hand).
 
-    def loss_fn(params, state, mb):
+    Dropout (VERDICT r4 item 4): if the model's apply accepts `rng` (the
+    AViNet transformers carry torch-default dropout=0.1,
+    /root/reference/model.py:137-144,211-221) and the train state carries a
+    base "rng" key, each step passes fold_in(base, step) — so training
+    actually exercises dropout and resume reproduces the key stream. States
+    without "rng" (hand-built in older tests) train with dropout off, as
+    before."""
+    import inspect
+
+    accepts_rng = "rng" in inspect.signature(model.apply).parameters
+
+    def loss_fn(params, state, mb, rng):
         if compute_dtype is not None:
             from vinet_tpu.models.inference import cast_floating
 
@@ -73,10 +91,11 @@ def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransf
         else:
             p, clip = params, mb["clip"]
             audio = mb.get("audio")
+        kw = {"rng": rng} if (accepts_rng and rng is not None) else {}
         if audio is not None:
-            pred, new_state = model.apply(p, state, clip, audio, train=True)
+            pred, new_state = model.apply(p, state, clip, audio, train=True, **kw)
         else:
-            pred, new_state = model.apply(p, state, clip, train=True)
+            pred, new_state = model.apply(p, state, clip, train=True, **kw)
         if compute_dtype is not None:
             from vinet_tpu.models.inference import cast_floating
 
@@ -86,25 +105,31 @@ def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransf
         return loss, new_state
 
     def step(ts, batch):
+        base_rng = ts.get("rng")
+        rng = (None if base_rng is None
+               else jax.random.fold_in(base_rng, ts["step"]))
         if grad_accum == 1:
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                ts["params"], ts["state"], batch)
+                ts["params"], ts["state"], batch, rng)
         else:
             micro = jax.tree_util.tree_map(
                 lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum) + x.shape[1:]),
                 batch)
 
-            def body(carry, mb):
+            def body(carry, mb_i):
+                mb, i = mb_i
                 gsum, lsum, state = carry
+                r = None if rng is None else jax.random.fold_in(rng, i)
                 (l, state2), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                    ts["params"], state, mb)
+                    ts["params"], state, mb, r)
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
                 return (gsum, lsum + l, state2), None
 
             gsum0 = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), ts["params"])
             (gsum, lsum, new_state), _ = jax.lax.scan(
-                body, (gsum0, jnp.zeros((), jnp.float32), ts["state"]), micro)
+                body, (gsum0, jnp.zeros((), jnp.float32), ts["state"]),
+                (micro, jnp.arange(grad_accum)))
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
             loss = lsum / grad_accum
         updates, opt_state = optimizer.update(grads, ts["opt_state"], ts["params"])
@@ -115,6 +140,8 @@ def make_train_step(model, loss_cfg: LossConfig, optimizer: optax.GradientTransf
             "opt_state": opt_state,
             "step": ts["step"] + 1,
         }
+        if base_rng is not None:
+            new_ts["rng"] = base_rng
         gnorm = optax.global_norm(grads)
         return new_ts, {"loss": loss, "grad_norm": gnorm}
 
