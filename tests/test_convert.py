@@ -1,5 +1,10 @@
 """Checkpoint conversion: torch state_dicts -> pytrees, with full-model
-activation parity (SURVEY.md §7 step 3's golden-activation harness)."""
+activation parity (SURVEY.md §7 step 3's golden-activation harness).
+
+Marked slow: every test runs REAL full-geometry (32x224x384) forwards
+through both the torch twin and the JAX model on the CPU backend
+(~170 s total on the 1-core host) — run via the slow lane
+(see tests/README.md)."""
 
 import numpy as np
 import pytest
@@ -7,6 +12,8 @@ import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.slow
 
 from tests.torch_ref import TViNet, kinetics_style_state_dict
 from vinet_tpu.io.convert import (

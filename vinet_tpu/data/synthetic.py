@@ -48,6 +48,90 @@ def make_eval_video(n_frames=256, seed=100):
     return frames, gts
 
 
+# Fixture suite (VERDICT r4 item 3): distinct dynamics so the streaming-FT
+# accuracy claim generalizes beyond the single moving-blob fixture. Each
+# kind returns (frames, gt) with the same geometry/label semantics as
+# make_eval_video; "blob" IS make_eval_video (bit-identical back-compat).
+FIXTURE_KINDS = ("blob", "multiblob", "occlusion", "scale", "static_then_moving")
+
+
+def _background(f, rng):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    bg = 40 + 25 * np.sin(2 * np.pi * (xx / 64.0 + f / 40.0)) \
+        + 15 * np.sin(2 * np.pi * (yy / 48.0 - f / 55.0))
+    return bg[..., None] + rng.integers(0, 30, (H, W, 3))
+
+
+def make_fixture_video(kind, n_frames=96, seed=100):
+    """Held-out eval fixture of the given dynamics kind. GT = the salient
+    content's gaussian (training-label semantics), same scoring path as
+    make_eval_video for every kind."""
+    if kind == "blob":
+        return make_eval_video(n_frames=n_frames, seed=seed)
+    # stable per-kind seed offset (builtin hash() is salted per process)
+    rng = np.random.default_rng(seed + sum(map(ord, kind)))
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    frames = np.empty((n_frames, H, W, 3), np.uint8)
+    gts = np.empty((n_frames, H, W), np.float32)
+
+    if kind == "multiblob":
+        # two equally-bright salient blobs on crossing paths; GT = max of
+        # both gaussians (multi-fixation frame)
+        c1 = [H * 0.3, W * 0.15]
+        c2 = [H * 0.7, W * 0.85]
+        v1 = [1.2, 2.6]
+        v2 = [-1.2, -2.6]
+        for f in range(n_frames):
+            for c, v in ((c1, v1), (c2, v2)):
+                c[0] = float(np.clip(c[0] + v[0] + rng.uniform(-1, 1), 16, H - 16))
+                c[1] = float(np.clip(c[1] + v[1] + rng.uniform(-1, 1), 16, W - 16))
+            g1 = np.exp(-((yy - c1[0]) ** 2 + (xx - c1[1]) ** 2) / (2 * 9.0**2))
+            g2 = np.exp(-((yy - c2[0]) ** 2 + (xx - c2[1]) ** 2) / (2 * 9.0**2))
+            img = _background(f, rng) + 175.0 * (g1 + g2)[..., None]
+            frames[f] = np.clip(img, 0, 255).astype(np.uint8)
+            gts[f] = np.maximum(g1, g2).astype(np.float32)
+    elif kind == "occlusion":
+        # bright blob crosses behind a fixed dark vertical bar; GT keeps
+        # tracking the blob (frames where it is hidden stress the temporal
+        # window differences between parity and streaming)
+        cy, cx = H * 0.5, W * 0.08
+        bar_lo, bar_hi = int(W * 0.45), int(W * 0.55)
+        for f in range(n_frames):
+            cy = float(np.clip(cy + rng.uniform(-2, 2), 16, H - 16))
+            cx = float(np.clip(cx + 3.2, 16, W - 16))
+            g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 9.0**2))
+            img = _background(f, rng) + 175.0 * g[..., None]
+            img[:, bar_lo:bar_hi] = 12  # occluder drawn OVER the blob
+            frames[f] = np.clip(img, 0, 255).astype(np.uint8)
+            gts[f] = g.astype(np.float32)
+    elif kind == "scale":
+        # blob size oscillates 6 -> 20 px sigma while drifting
+        cy, cx = H * 0.5, W * 0.3
+        for f in range(n_frames):
+            cy = float(np.clip(cy + rng.uniform(-2, 2), 20, H - 20))
+            cx = float(np.clip(cx + 1.0 + rng.uniform(-1, 1), 20, W - 20))
+            sigma = 13.0 + 7.0 * np.sin(2 * np.pi * f / 48.0)
+            g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2))
+            img = _background(f, rng) + 175.0 * g[..., None]
+            frames[f] = np.clip(img, 0, 255).astype(np.uint8)
+            gts[f] = g.astype(np.float32)
+    elif kind == "static_then_moving":
+        # static for the first half (streaming's chunked windows see pure
+        # repetition), then abrupt fast motion
+        cy, cx = H * 0.45, W * 0.4
+        for f in range(n_frames):
+            if f >= n_frames // 2:
+                cy = float(np.clip(cy + rng.uniform(-1, 1) + 2.5, 16, H - 16))
+                cx = float(np.clip(cx + 4.0 + rng.uniform(-1, 1), 16, W - 16))
+            g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 9.0**2))
+            img = _background(f, rng) + 175.0 * g[..., None]
+            frames[f] = np.clip(img, 0, 255).astype(np.uint8)
+            gts[f] = g.astype(np.float32)
+    else:
+        raise ValueError(f"unknown fixture kind {kind!r}; one of {FIXTURE_KINDS}")
+    return frames, gts
+
+
 def write_blob_video(vdir, n_frames, rng):
     """One DHF1K-layout video (images/ + maps/ + fixation/) with RANDOMIZED
     blob dynamics (start, velocity, size, brightness) so a model must learn
